@@ -1,0 +1,108 @@
+"""Curve and field constants for the supported pairing curves.
+
+Reference parity: the arkworks curve configs consumed by the reference
+(`ark-bn254`, `ark-bls12-381`; see `plonk/Cargo.toml:12-40`).  Constants are
+standard published parameters for BN254 (alt_bn128) and BLS12-381.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .ops.field import FieldSpec
+
+# ---------------------------------------------------------------------------
+# BN254 (alt_bn128)
+# ---------------------------------------------------------------------------
+
+BN254_FR_MOD = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+BN254_FQ_MOD = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+# arkworks ark-bn254 generators: Fr generator = 5, Fq generator = 3
+BN254_FR = FieldSpec(name="bn254_fr", p=BN254_FR_MOD, num_limbs=16, generator=5)
+BN254_FQ = FieldSpec(name="bn254_fq", p=BN254_FQ_MOD, num_limbs=16, generator=3)
+
+# ---------------------------------------------------------------------------
+# BLS12-381
+# ---------------------------------------------------------------------------
+
+BLS12_381_FR_MOD = 52435875175126190479447740508185965837690552500527637822603658699938581184513
+BLS12_381_FQ_MOD = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+
+# arkworks ark-bls12-381 generators: Fr generator = 7, Fq generator = 2
+BLS12_381_FR = FieldSpec(name="bls12_381_fr", p=BLS12_381_FR_MOD, num_limbs=16, generator=7)
+BLS12_381_FQ = FieldSpec(name="bls12_381_fq", p=BLS12_381_FQ_MOD, num_limbs=24, generator=2)
+
+
+@dataclass(frozen=True)
+class CurveSpec:
+    """Short-Weierstrass pairing curve: y^2 = x^3 + b over Fq, subgroup order r.
+
+    G2 lives over Fq2 = Fq[u]/(u^2 - nonresidue); pairing runs host-side.
+    """
+
+    name: str
+    fq: FieldSpec       # base field
+    fr: FieldSpec       # scalar field
+    b: int              # curve coefficient (G1)
+    g1_gen: tuple       # (x, y) ints
+    # G2: coefficients as Fq2 elements (c0, c1)
+    b2: tuple
+    g2_gen: tuple       # ((x0, x1), (y0, y1))
+    fq2_nonresidue: int  # u^2 = nonresidue  (-1 for both curves here)
+    x_param: int        # curve family parameter (for pairing loop)
+
+    def __hash__(self):
+        return hash(self.name)
+
+
+BN254 = CurveSpec(
+    name="bn254",
+    fq=BN254_FQ,
+    fr=BN254_FR,
+    b=3,
+    g1_gen=(1, 2),
+    # G2 generator and b2 = 3/(9+u), standard alt_bn128 parameters
+    b2=(
+        19485874751759354771024239261021720505790618469301721065564631296452457478373,
+        266929791119991161246907387137283842545076965332900288569378510910307636690,
+    ),
+    g2_gen=(
+        (
+            10857046999023057135944570762232829481370756359578518086990519993285655852781,
+            11559732032986387107991004021392285783925812861821192530917403151452391805634,
+        ),
+        (
+            8495653923123431417604973247489272438418190587263600148770280649306958101930,
+            4082367875863433681332203403145435568316851327593401208105741076214120093531,
+        ),
+    ),
+    fq2_nonresidue=BN254_FQ_MOD - 1,  # u^2 = -1
+    x_param=4965661367192848881,
+)
+
+BLS12_381 = CurveSpec(
+    name="bls12_381",
+    fq=BLS12_381_FQ,
+    fr=BLS12_381_FR,
+    b=4,
+    g1_gen=(
+        0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
+        0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+    ),
+    b2=(4, 4),  # b2 = 4*(1+u)
+    g2_gen=(
+        (
+            0x024AA2B2F08F0A91260805272DC51051C6E47AD4FA403B02B4510B647AE3D1770BAC0326A805BBEFD48056C8C121BDB8,
+            0x13E02B6052719F607DACD3A088274F65596BD0D09920B61AB5DA61BBDC7F5049334CF11213945D57E5AC7D055D042B7E,
+        ),
+        (
+            0x0CE5D527727D6E118CC9CDC6DA2E351AADFD9BAA8CBDD3A76D429A695160D12C923AC9CC3BACA289E193548608B82801,
+            0x0606C4A02EA734CC32ACD2B02BC28B99CB3E287E85A763AF267492AB572E99AB3F370D275CEC1DA1AAA9075FF05F79BE,
+        ),
+    ),
+    fq2_nonresidue=BLS12_381_FQ_MOD - 1,  # u^2 = -1
+    x_param=-0xD201000000010000,
+)
+
+CURVES = {"bn254": BN254, "bls12_381": BLS12_381}
