@@ -446,6 +446,23 @@ def cumprod(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     return a
 
 
+def cumsum(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """Inclusive cumulative field sum along a batch axis (Hillis-Steele)."""
+    assert axis >= 1
+    n = a.shape[axis]
+    shift = 1
+    while shift < n:
+        rolled = jnp.roll(a, shift, axis=axis)
+        prefix_mask = (jnp.arange(n) >= shift)
+        shape = [1] * a.ndim
+        shape[axis] = n
+        mask = prefix_mask.reshape(shape)
+        s = add(spec, a, rolled)
+        a = jnp.where(mask, s, a)
+        shift *= 2
+    return a
+
+
 def powers(spec: FieldSpec, base: jnp.ndarray, n: int) -> jnp.ndarray:
     """[L, n] tensor of base^0, base^1, ..., base^(n-1) (Montgomery form).
 
@@ -480,4 +497,5 @@ mul_const = _ft.partial(jax.jit, static_argnums=(0, 2))(mul_const)
 pow_static = _ft.partial(jax.jit, static_argnums=(0, 2))(pow_static)
 sum_reduce = _ft.partial(jax.jit, static_argnums=(0, 2))(sum_reduce)
 cumprod = _ft.partial(jax.jit, static_argnums=(0, 2))(cumprod)
+cumsum = _ft.partial(jax.jit, static_argnums=(0, 2))(cumsum)
 powers = _ft.partial(jax.jit, static_argnums=(0, 2))(powers)

@@ -1,16 +1,17 @@
 """Radix-2 NTT / iNTT / coset-NTT over prime-field limb tensors.
 
 TPU-native replacement for arkworks ``Radix2EvaluationDomain::{fft, ifft,
-coset_fft}`` (SURVEY.md L0, hot loops in
+coset_fft}`` (SURVEY.md L0; hot loops in
 `plonk/src/proof_system/prover.rs:512-675` and
 `relation/src/constraint_system.rs:1225-1259`).
 
 Layout: coefficient/evaluation vectors are ``uint32[L, n]`` limb-major
 tensors (n on the minor axis -> TPU lanes).  The transform is an iterative
 decimation-in-frequency butterfly over the trailing axis followed by a single
-bit-reversal gather, with all twiddle tables precomputed per domain in
-Montgomery form.  log2(n) stages, each one vectorized field mul + add/sub on
-n/2 lanes.
+bit-reversal gather.  log2(n) stages, each one vectorized field mul +
+add/sub on n/2 lanes.  Twiddle tables are precomputed per domain
+(Montgomery form) and passed as operands so they are not baked into the
+compiled executable.
 """
 
 from __future__ import annotations
@@ -29,9 +30,10 @@ from ..utils.bigint import ints_to_limbs
 class Domain:
     """Radix-2 evaluation domain of size n (mirror of Radix2EvaluationDomain).
 
-    Precomputes, on host: group generator w (n-th root of unity), its inverse,
-    1/n, per-stage twiddle tables (Montgomery form, device arrays), and the
-    bit-reversal permutation.
+    Precomputes on host: the group generator w (primitive n-th root of
+    unity), its inverse, 1/n, per-stage twiddle tables (device, Montgomery
+    form) and the bit-reversal permutation.  Hashable by (field, n) so it can
+    be a static jit argument.
     """
 
     def __init__(self, spec: FieldSpec, n: int):
@@ -42,31 +44,40 @@ class Domain:
         self.w = spec.nth_root(n) if n > 1 else 1
         self.w_inv = pow(self.w, -1, spec.p)
         self.n_inv = pow(n, -1, spec.p)
-        self.generator = spec.generator  # coset shift used by quotient domain
+        self.generator = spec.generator  # default coset shift
 
     @functools.cached_property
-    def _bitrev(self) -> jnp.ndarray:
+    def bitrev(self) -> jnp.ndarray:
         idx = np.arange(self.n)
         rev = np.zeros(self.n, dtype=np.int32)
         for b in range(self.log_n):
             rev |= ((idx >> b) & 1) << (self.log_n - 1 - b)
         return jnp.asarray(rev)
 
-    def _twiddles(self, root: int) -> list:
-        """Per-stage twiddle tables for DIF with the given n-th root.
+    def _twiddles(self, root: int):
+        """Flat constant-geometry (Pease) twiddle table + per-stage offsets.
 
-        Stage s (s = 0..log_n-1) has half-block size h = n >> (s+1) and uses
-        w^(j * 2^s) for j in 0..h.
+        Stage s of the constant-geometry DIF needs W_s[i] = root^(2^s * (i>>s))
+        for i in [0, n/2).  The distinct values per stage are
+        root^(2^s * j), j in [0, n >> (s+1)); we store them concatenated
+        (total n-1 entries, padded to n) and expand on device with a gather.
         """
         spec = self.spec
-        tw = []
+        flat, offsets = [], []
         for s in range(self.log_n):
-            h = self.n >> (s + 1)
+            offsets.append(len(flat))
             stride = 1 << s
-            ws = [pow(root, j * stride, spec.p) for j in range(h)]
-            ws_mont = [spec.to_mont_int(x) for x in ws]
-            tw.append(jnp.asarray(ints_to_limbs(ws_mont, spec.num_limbs)))
-        return tw
+            cnt = self.n >> (s + 1)
+            cur = 1
+            step = pow(root, stride, spec.p)
+            for _ in range(cnt):
+                flat.append(spec.to_mont_int(cur))
+                cur = cur * step % spec.p
+        flat.append(0)  # pad
+        return (
+            jnp.asarray(ints_to_limbs(flat, spec.num_limbs)),
+            jnp.asarray(np.asarray(offsets, dtype=np.int32)),
+        )
 
     @functools.cached_property
     def twiddles_fwd(self):
@@ -78,7 +89,7 @@ class Domain:
 
     @functools.cached_property
     def elements_host(self) -> list:
-        """Host list of domain elements 1, w, w^2, ... (normal form ints)."""
+        """Host list of domain elements 1, w, w^2, ... (normal-form ints)."""
         out, cur = [], 1
         for _ in range(self.n):
             out.append(cur)
@@ -92,62 +103,15 @@ class Domain:
         return isinstance(other, Domain) and self.spec == other.spec and self.n == other.n
 
 
-def _dif(spec: FieldSpec, x: jnp.ndarray, twiddles: list, log_n: int) -> jnp.ndarray:
-    """Iterative DIF butterflies; output in bit-reversed order."""
-    L, n = x.shape
-    for s in range(log_n):
-        h = n >> (s + 1)          # half-block
-        nb = n >> (log_n - s)     # actually number of blocks = 2^s
-        nb = 1 << s
-        # view as [L, nb, 2, h]
-        xv = x.reshape(L, nb, 2, h)
-        even = xv[:, :, 0, :]
-        odd = xv[:, :, 1, :]
-        t = F.sub(spec, even, odd)
-        even2 = F.add(spec, even, odd)
-        w = twiddles[s][:, None, :]           # [L, 1, h]
-        odd2 = F.mul(spec, t, w)
-        x = jnp.stack([even2, odd2], axis=2).reshape(L, n)
-    return x
-
-
-def ntt(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
-    """Forward NTT: coefficients -> evaluations on the domain (natural order)."""
-    if domain.n == 1:
-        return coeffs
-    y = _dif(domain.spec, coeffs, domain.twiddles_fwd, domain.log_n)
-    return y[:, domain._bitrev]
-
-
-def intt(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
-    """Inverse NTT: evaluations -> coefficients."""
-    if domain.n == 1:
-        return evals
-    spec = domain.spec
-    y = _dif(spec, evals, domain.twiddles_inv, domain.log_n)
-    y = y[:, domain._bitrev]
-    return F.mul_const(spec, y, domain.n_inv)
-
-
-def coset_scale(domain: Domain, coeffs: jnp.ndarray, g: int | None = None) -> jnp.ndarray:
-    """Scale coefficient j by g^j (host int g; defaults to field generator)."""
-    spec = domain.spec
-    g = domain.generator if g is None else g
-    pw = [pow(g, j, spec.p) for j in range(domain.n)]
-    pw_d = jnp.asarray(ints_to_limbs([spec.to_mont_int(x) for x in pw], spec.num_limbs))
-    return F.mul(spec, coeffs, pw_d)
-
-
 class CosetTable:
-    """Cached per-(domain, g) coset scaling powers (g^j and g^-j, Montgomery)."""
+    """Per-(domain, g) coset scaling powers g^j / g^-j (Montgomery, device)."""
 
     def __init__(self, domain: Domain, g: int | None = None):
         spec = domain.spec
         self.domain = domain
         self.g = domain.generator if g is None else g
         g_inv = pow(self.g, -1, spec.p)
-        pw = []
-        pwi = []
+        pw, pwi = [], []
         cur, curi = 1, 1
         for _ in range(domain.n):
             pw.append(spec.to_mont_int(cur))
@@ -158,13 +122,81 @@ class CosetTable:
         self.pows_inv = jnp.asarray(ints_to_limbs(pwi, spec.num_limbs))
 
 
+def _dif(spec: FieldSpec, x: jnp.ndarray, twiddles, log_n: int) -> jnp.ndarray:
+    """Constant-geometry (Pease) DIF butterflies; output in bit-reversed order.
+
+    Every stage does the same data movement:
+        a = x[:, :n/2]; b = x[:, n/2:]
+        x' = interleave(a + b, (a - b) * W_s)
+    so the whole transform is one `lax.scan` over stages - the compiled graph
+    is O(1) in n, which keeps XLA compile times flat for large domains.
+    """
+    L, n = x.shape
+    h = n // 2
+    flat_tw, offsets = twiddles
+    lane = jnp.arange(h, dtype=jnp.int32)
+
+    def body(xc, s):
+        idx = offsets[s] + (lane >> s)
+        w = flat_tw[:, idx]                     # [L, h] expanded twiddles
+        a = xc[:, :h]
+        b = xc[:, h:]
+        s_ = F.add(spec, a, b)
+        d_ = F.mul(spec, F.sub(spec, a, b), w)
+        out = jnp.stack([s_, d_], axis=2).reshape(L, n)
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, jnp.arange(log_n, dtype=jnp.int32))
+    return x
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _ntt_jit(domain: Domain, coeffs, twiddles, bitrev):
+    y = _dif(domain.spec, coeffs, twiddles, domain.log_n)
+    return y[:, bitrev]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _intt_jit(domain: Domain, evals, twiddles, bitrev):
+    y = _dif(domain.spec, evals, twiddles, domain.log_n)
+    y = y[:, bitrev]
+    return F.mul_const(domain.spec, y, domain.n_inv)
+
+
+def ntt(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT: coefficients -> evaluations on the domain (natural order)."""
+    if domain.n == 1:
+        return coeffs
+    return _ntt_jit(domain, coeffs, domain.twiddles_fwd, domain.bitrev)
+
+
+def intt(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
+    """Inverse NTT: evaluations -> coefficients."""
+    if domain.n == 1:
+        return evals
+    return _intt_jit(domain, evals, domain.twiddles_inv, domain.bitrev)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _coset_ntt_jit(domain: Domain, coeffs, pows, twiddles, bitrev):
+    scaled = F.mul(domain.spec, coeffs, pows)
+    y = _dif(domain.spec, scaled, twiddles, domain.log_n)
+    return y[:, bitrev]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _coset_intt_jit(domain: Domain, evals, pows_inv, twiddles, bitrev):
+    y = _dif(domain.spec, evals, twiddles, domain.log_n)
+    y = y[:, bitrev]
+    y = F.mul_const(domain.spec, y, domain.n_inv)
+    return F.mul(domain.spec, y, pows_inv)
+
+
 def coset_ntt(domain: Domain, coeffs: jnp.ndarray, table: CosetTable) -> jnp.ndarray:
-    """Evaluate poly on the coset g*H: NTT(coeff_j * g^j)."""
-    scaled = F.mul(domain.spec, coeffs, table.pows)
-    return ntt(domain, scaled)
+    """Evaluate poly on the coset g*H: NTT(coeff_j * g^j), natural order."""
+    return _coset_ntt_jit(domain, coeffs, table.pows, domain.twiddles_fwd, domain.bitrev)
 
 
 def coset_intt(domain: Domain, evals: jnp.ndarray, table: CosetTable) -> jnp.ndarray:
     """Interpolate from evaluations on coset g*H back to coefficients."""
-    coeffs = intt(domain, evals)
-    return F.mul(domain.spec, coeffs, table.pows_inv)
+    return _coset_intt_jit(domain, evals, table.pows_inv, domain.twiddles_inv, domain.bitrev)
