@@ -168,16 +168,27 @@ def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cond[None, ...], a, b)
 
 
-def _geq(spec: FieldSpec, a: jnp.ndarray, b_limbs: jnp.ndarray) -> jnp.ndarray:
-    """Lexicographic a >= b for canonical-limb inputs. Returns bool [*batch]."""
-    L = spec.num_limbs
-    gt = jnp.zeros(a.shape[1:], dtype=jnp.bool_)
-    eq_so_far = jnp.ones(a.shape[1:], dtype=jnp.bool_)
-    for i in reversed(range(L)):
-        bi = b_limbs[i]
-        gt = gt | (eq_so_far & (a[i] > bi))
-        eq_so_far = eq_so_far & (a[i] == bi)
-    return gt | eq_so_far
+def _geq(spec: FieldSpec, a: jnp.ndarray, b_limbs) -> jnp.ndarray:
+    """Lexicographic a >= b for canonical-limb inputs. Returns bool [*batch].
+
+    Scan from the most significant limb down (compact graph).
+    """
+    if isinstance(b_limbs, (list, tuple)):
+        b = jnp.stack([jnp.broadcast_to(x, a.shape[1:]) for x in b_limbs])
+    else:
+        b = jnp.broadcast_to(b_limbs, a.shape)
+
+    def body(carry, rows):
+        gt, eq = carry
+        ra, rb = rows
+        gt = gt | (eq & (ra > rb))
+        eq = eq & (ra == rb)
+        return (gt, eq), None
+
+    init = (jnp.zeros(a.shape[1:], dtype=jnp.bool_),
+            jnp.ones(a.shape[1:], dtype=jnp.bool_))
+    (gt, eq), _ = jax.lax.scan(body, init, (jnp.flip(a, 0), jnp.flip(b, 0)))
+    return gt | eq
 
 
 def _sub_limbs(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray):
@@ -185,26 +196,25 @@ def _sub_limbs(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray):
 
     Returns (diff uint32[L, *batch] canonical limbs, borrow bool[*batch]).
     """
-    L = spec.num_limbs
-    out = []
-    borrow = jnp.zeros(a.shape[1:], dtype=I32)
-    for i in range(L):
-        d = a[i].astype(I32) - b[i].astype(I32) - borrow
+    def body(borrow, rows):
+        ra, rb = rows
+        d = ra.astype(I32) - rb.astype(I32) - borrow
         borrow = (d < 0).astype(I32)
-        out.append((d + (borrow << LIMB_BITS)).astype(U32))
-    return jnp.stack(out), borrow > 0
+        return borrow, (d + (borrow << LIMB_BITS)).astype(U32)
+
+    borrow, rows = jax.lax.scan(body, jnp.zeros(a.shape[1:], dtype=I32), (a, b))
+    return rows, borrow > 0
 
 
 def _add_limbs(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray):
     """Raw limbwise a + b with carry propagation. Returns (sum, carry_out)."""
-    L = spec.num_limbs
-    out = []
-    carry = jnp.zeros(a.shape[1:], dtype=U32)
-    for i in range(L):
-        s = a[i] + b[i] + carry
-        carry = s >> LIMB_BITS
-        out.append(s & LIMB_MASK)
-    return jnp.stack(out), carry > 0
+    def body(carry, rows):
+        ra, rb = rows
+        s = ra + rb + carry
+        return s >> LIMB_BITS, s & LIMB_MASK
+
+    carry, rows = jax.lax.scan(body, jnp.zeros(a.shape[1:], dtype=U32), (a, b))
+    return rows, carry > 0
 
 
 def _cond_sub_p(spec: FieldSpec, a: jnp.ndarray, force_mask=None) -> jnp.ndarray:

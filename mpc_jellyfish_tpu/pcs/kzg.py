@@ -1,0 +1,209 @@
+"""Univariate KZG polynomial commitment scheme on TPU.
+
+TPU-native equivalent of the reference's `UnivariateKzgPCS`
+(`primitives/src/pcs/univariate_kzg/mod.rs:90-166`; SRS types in
+`pcs/univariate_kzg/srs.rs`): commit = one MSM over the SRS powers-of-g,
+open = quotient-poly division + MSM, verify = 2-pairing check (host).
+
+Device-side: SRS G1 powers live as affine limb tensors; commit/open run the
+Pippenger MSM kernel.  Host-side: G2 elements, pairings, (de)serialization.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..curves import CurveSpec
+from ..ops import field as F
+from ..ops import ec as E
+from ..ops import msm as M
+from ..ops import poly as P
+from .. import pairing as PR
+from ..utils.ec_host import AffinePoint, ec_mul, ec_neg, ec_add
+from ..utils.bigint import ints_to_limbs
+
+
+@dataclass
+class UniversalSrs:
+    """powers_of_g on device (affine batch), h / beta_h host G2 points.
+
+    Mirror of `UnivariateUniversalParams` (reference srs.rs).
+    """
+
+    curve: CurveSpec
+    powers_of_g: tuple          # device affine batch (x, y, inf), length max_degree+1
+    h: PR.G2Point
+    beta_h: PR.G2Point
+
+    @property
+    def max_degree(self) -> int:
+        return self.powers_of_g[0].shape[1] - 1
+
+    def trim(self, supported_degree: int):
+        """-> (CommitKey, OpenKey).  Mirror of `srs.trim` (snark.rs:561)."""
+        if supported_degree > self.max_degree:
+            raise ValueError(
+                f"SRS supports degree {self.max_degree} < {supported_degree}")
+        n = supported_degree + 1
+        ck = CommitKey(
+            curve=self.curve,
+            powers_of_g=tuple(t[..., :n] for t in self.powers_of_g),
+        )
+        g = E.affine_from_device(self.curve.fq, tuple(t[..., :1] for t in self.powers_of_g))[0]
+        vk = OpenKey(curve=self.curve, g=g, h=self.h, beta_h=self.beta_h)
+        return ck, vk
+
+    def save(self, path: str):
+        x, y, inf = self.powers_of_g
+        np.savez_compressed(
+            path,
+            x=np.asarray(jax.device_get(x)),
+            y=np.asarray(jax.device_get(y)),
+            inf=np.asarray(jax.device_get(inf)),
+            h=np.asarray([*self.h.x, *self.h.y], dtype=object),
+            beta_h=np.asarray([*self.beta_h.x, *self.beta_h.y], dtype=object),
+            curve=self.curve.name,
+        )
+
+    @staticmethod
+    def load(path: str, curve: CurveSpec) -> "UniversalSrs":
+        """Mirror of `load_srs_from_file` (pcs/mod.rs:78)."""
+        z = np.load(path, allow_pickle=True)
+        assert str(z["curve"]) == curve.name
+        pg = (jnp.asarray(z["x"]), jnp.asarray(z["y"]), jnp.asarray(z["inf"]))
+        h = PR.G2Point((int(z["h"][0]), int(z["h"][1])), (int(z["h"][2]), int(z["h"][3])))
+        bh = PR.G2Point((int(z["beta_h"][0]), int(z["beta_h"][1])),
+                        (int(z["beta_h"][2]), int(z["beta_h"][3])))
+        return UniversalSrs(curve=curve, powers_of_g=pg, h=h, beta_h=bh)
+
+
+@dataclass
+class CommitKey:
+    curve: CurveSpec
+    powers_of_g: tuple          # device affine batch
+
+
+@dataclass
+class OpenKey:
+    """Verifier key: g, h, beta_h (host points).  Mirror of `UnivariateVerifierParam`."""
+    curve: CurveSpec
+    g: AffinePoint
+    h: PR.G2Point
+    beta_h: PR.G2Point
+
+
+# ---------------------------------------------------------------------------
+# setup
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fixed_base_msm(fq, table, scalars):
+    """P_i = scalars_i * G via a 16*L-step scan over a doubling table of G.
+
+    table: affine batch of G*2^j, j in [0, bits).  scalars: [Lr, n] normal.
+    """
+    Lr, n = scalars.shape
+    bits = table[0].shape[1]
+    acc = E.jac_infinity(fq, (n,))
+
+    def body(acc, j):
+        limb = scalars[j // 16]
+        bit = ((limb >> (j % 16)) & 1) > 0
+        tj = tuple(jax.lax.dynamic_index_in_dim(t, j, axis=t.ndim - 1, keepdims=False)
+                   for t in table[:2]) + (table[2][j],)
+        tj = (tj[0][:, None], tj[1][:, None], jnp.broadcast_to(tj[2], (1,)))
+        tj = (jnp.broadcast_to(tj[0], acc[0].shape),
+              jnp.broadcast_to(tj[1], acc[1].shape),
+              jnp.broadcast_to(tj[2][0], (n,)))
+        added = E.jac_madd(fq, acc, tj)
+        return tuple(F.select(bit, a, b) for a, b in zip(added, acc)), None
+
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(bits, dtype=jnp.int32))
+    return acc
+
+
+def universal_setup_for_testing(curve: CurveSpec, max_degree: int, seed: int = 0) -> UniversalSrs:
+    """Insecure test SRS from a seeded beta (mirror of
+    `universal_setup_for_testing`, snark.rs:486-525; `test-srs` feature)."""
+    import random
+    rng = random.Random(seed)
+    fr, fq = curve.fr, curve.fq
+    beta = rng.randrange(1, fr.p)
+    g = AffinePoint(*curve.g1_gen)
+    h = PR.g2_generator(curve)
+    beta_h = PR.g2_mul(curve, h, beta)
+
+    n = max_degree + 1
+    # host: powers of beta (normal form ints)
+    pows = []
+    cur = 1
+    for _ in range(n):
+        pows.append(cur)
+        cur = cur * beta % fr.p
+    scalars = jnp.asarray(ints_to_limbs(pows, fr.num_limbs))
+
+    # host: doubling table of g (bits entries)
+    bits = fr.num_limbs * 16
+    tbl = []
+    cur_pt = g
+    for _ in range(bits):
+        tbl.append(cur_pt)
+        cur_pt = ec_add(fq.p, cur_pt, cur_pt)
+    table = E.affine_to_device(fq, tbl)
+
+    acc = _fixed_base_msm(fq, table, scalars)
+    powers_aff = E.jac_to_affine(fq, acc)
+    return UniversalSrs(curve=curve, powers_of_g=powers_aff, h=h, beta_h=beta_h)
+
+
+# ---------------------------------------------------------------------------
+# commit / open / verify
+# ---------------------------------------------------------------------------
+
+def commit(ck: CommitKey, coeffs_mont: jnp.ndarray) -> AffinePoint:
+    """Commit to a polynomial given Montgomery-form coefficients [L, n].
+
+    One variable-base MSM (reference univariate_kzg/mod.rs:108-112).
+    """
+    fq, fr = ck.curve.fq, ck.curve.fr
+    n = coeffs_mont.shape[1]
+    if n > ck.powers_of_g[0].shape[1]:
+        raise ValueError("poly degree exceeds commit key")
+    scalars = F.from_mont(fr, coeffs_mont)
+    bases = tuple(t[..., :n] for t in ck.powers_of_g)
+    res = M.msm(fq, bases, scalars)
+    return E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
+
+
+def batch_commit(ck: CommitKey, polys: list) -> list:
+    return [commit(ck, c) for c in polys]
+
+
+def open_at(ck: CommitKey, coeffs_mont: jnp.ndarray, z: int):
+    """Open poly at point z: returns (proof commitment, evaluation int).
+
+    witness = (p(X) - p(z)) / (X - z); proof = commit(witness)
+    (reference univariate_kzg/mod.rs:135-166).
+    """
+    fr = ck.curve.fr
+    zd = fr.to_device([z])[:, 0]
+    q, r = P.divide_by_linear(fr, coeffs_mont, zd)
+    proof = commit(ck, q)
+    value = fr.from_device(r.reshape(fr.num_limbs, 1))[0]
+    return proof, value
+
+
+def verify_open(vk: OpenKey, comm: AffinePoint, z: int, value: int,
+                proof: AffinePoint) -> bool:
+    """Check p(z) = value:  e(W, beta_h) == e(W*z + C - value*g, h)
+    i.e. e(W, beta_h) * e(-(W*z + C - value*g), h) == 1."""
+    curve = vk.curve
+    p = curve.fq.p
+    b = ec_add(p, ec_mul(p, proof, z % curve.fr.p), comm)
+    b = ec_add(p, b, ec_neg(p, ec_mul(p, vk.g, value % curve.fr.p)))
+    return PR.pairing_check(curve, [proof, ec_neg(p, b)], [vk.beta_h, vk.h])

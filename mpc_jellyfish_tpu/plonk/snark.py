@@ -1,0 +1,275 @@
+"""PlonkKzgSnark: universal setup / preprocess / prove / verify.
+
+Mirror of `plonk/src/proof_system/snark.rs` (UniversalSNARK impl), driving
+the device prover (`prover.py`) with a host-side Solidity transcript, and the
+host verifier (`verifier.py`).  The 5.5-round schedule and transcript message
+order follow `batch_prove_internal` (snark.rs:201-469) exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from ..curves import CurveSpec
+from ..ops import field as F
+from ..ops import ntt as N
+from ..pcs import kzg
+from .prover import Prover, _const
+from .structs import (BatchProof, Challenges, LinkingHint, Oracles, Proof,
+                      ProvingKey, VerifyingKey)
+from .transcript import SolidityTranscript, EXTRA_TRANSCRIPT_MSG_LABEL
+from .verifier import Verifier
+
+GATE_WIDTH = 4
+
+
+class PlonkError(Exception):
+    pass
+
+
+class WrongProof(PlonkError):
+    pass
+
+
+class PlonkKzgSnark:
+    """TurboPlonk SNARK over a KZG PCS (UltraPlonk arrives with Plookup)."""
+
+    def __init__(self, curve: CurveSpec):
+        self.curve = curve
+        self.spec = curve.fr
+
+    # -- setup / preprocess ----------------------------------------------
+    def universal_setup_for_testing(self, max_degree: int, seed: int = 0):
+        return kzg.universal_setup_for_testing(self.curve, max_degree, seed)
+
+    def preprocess(self, srs, circuit):
+        """Compute ProvingKey/VerifyingKey (snark.rs:529-617)."""
+        spec = self.spec
+        circuit.finalize_for_arithmetization()
+        n = circuit.eval_domain_size()
+        if srs.max_degree < circuit.srs_size():
+            raise PlonkError("SRS too small for circuit")
+        domain = N.Domain(spec, n)
+
+        ck, open_key = srs.trim(circuit.srs_size())
+
+        selector_polys = []
+        for col in circuit.all_selectors():
+            evals = spec.to_device(col)
+            selector_polys.append(N.intt(domain, evals))
+        sigma_evals_host = circuit.extended_permutation()
+        sigma_polys = []
+        sigma_evals_dev = []
+        for col in sigma_evals_host:
+            evals = spec.to_device(col)
+            sigma_evals_dev.append(evals)
+            sigma_polys.append(N.intt(domain, evals))
+
+        selector_comms = [kzg.commit(ck, c) for c in selector_polys]
+        sigma_comms = [kzg.commit(ck, c) for c in sigma_polys]
+
+        vk = VerifyingKey(
+            domain_size=n,
+            num_inputs=circuit.num_inputs(),
+            selector_comms=selector_comms,
+            sigma_comms=sigma_comms,
+            k=list(circuit.k),
+            open_key=open_key,
+            plookup_vk=None,
+            is_merged=False,
+        )
+        pk = ProvingKey(sigmas=sigma_polys, selectors=selector_polys,
+                        commit_key=ck, vk=vk, plookup_pk=None)
+        # device-side eval-domain data for the grand product (round 2)
+        pk.sigma_evals = sigma_evals_dev
+        id_host = circuit.extended_id_permutation
+        pk.id_evals = [spec.to_device(id_host[i * n:(i + 1) * n])
+                       for i in range(circuit.num_wire_types)]
+        return pk, vk
+
+    # -- prove -------------------------------------------------------------
+    def prove(self, circuit, pk: ProvingKey, rng=None, mask: bool = True,
+              extra_transcript_init_msg: bytes | None = None) -> Proof:
+        batch_proof, _, _ = self.batch_prove_internal(
+            [circuit], [pk], rng, mask, extra_transcript_init_msg)
+        return Proof(
+            wires_poly_comms=batch_proof.wires_poly_comms_vec[0],
+            prod_perm_poly_comm=batch_proof.prod_perm_poly_comms_vec[0],
+            split_quot_poly_comms=batch_proof.split_quot_poly_comms,
+            opening_proof=batch_proof.opening_proof,
+            shifted_opening_proof=batch_proof.shifted_opening_proof,
+            poly_evals=batch_proof.poly_evals_vec[0],
+            plookup_proof=batch_proof.plookup_proofs_vec[0],
+        )
+
+    def prove_with_link_hint(self, circuit, pk: ProvingKey, rng=None,
+                             mask: bool = True):
+        """snark.rs:81-114; link wire is wire PROOF_LINK_WIRE_IDX = 4."""
+        from ..relation.proof_linking import PROOF_LINK_WIRE_IDX
+        batch_proof, oracles, _ = self.batch_prove_internal(
+            [circuit], [pk], rng, mask, None)
+        hint = LinkingHint(
+            linking_wire_poly=oracles[0].wire_polys[PROOF_LINK_WIRE_IDX],
+            linking_wire_comm=batch_proof.wires_poly_comms_vec[0][PROOF_LINK_WIRE_IDX],
+        )
+        proof = Proof(
+            wires_poly_comms=batch_proof.wires_poly_comms_vec[0],
+            prod_perm_poly_comm=batch_proof.prod_perm_poly_comms_vec[0],
+            split_quot_poly_comms=batch_proof.split_quot_poly_comms,
+            opening_proof=batch_proof.opening_proof,
+            shifted_opening_proof=batch_proof.shifted_opening_proof,
+            poly_evals=batch_proof.poly_evals_vec[0],
+            plookup_proof=batch_proof.plookup_proofs_vec[0],
+        )
+        return proof, hint
+
+    def batch_prove(self, circuits, pks, rng=None, mask: bool = True) -> BatchProof:
+        bp, _, _ = self.batch_prove_internal(circuits, pks, rng, mask, None)
+        return bp
+
+    def batch_prove_internal(self, circuits, pks, rng=None, mask: bool = True,
+                             extra_transcript_init_msg: bytes | None = None):
+        """The 5.5-round protocol (snark.rs:201-469), TurboPlonk path."""
+        if not circuits or len(circuits) != len(pks):
+            raise PlonkError("inconsistent circuits/pks")
+        if rng is None:
+            rng = random.Random(0)
+        spec = self.spec
+        p = spec.p
+        n = circuits[0].eval_domain_size()
+        num_wire_types = circuits[0].num_wire_types
+        for c, pk in zip(circuits, pks):
+            if c.eval_domain_size() != n or pk.domain_size() != n:
+                raise PlonkError("domain size mismatch")
+            if c.num_inputs() != pk.vk.num_inputs:
+                raise PlonkError("num_inputs mismatch")
+            if c.num_wire_types != num_wire_types:
+                raise PlonkError("wire type mismatch")
+
+        transcript = SolidityTranscript(self.curve)
+        if extra_transcript_init_msg is not None:
+            transcript.append_message(EXTRA_TRANSCRIPT_MSG_LABEL,
+                                      extra_transcript_init_msg)
+        for pk, c in zip(pks, circuits):
+            transcript.append_vk_and_pub_input(pk.vk, c.public_input())
+
+        challenges = Challenges()
+        oracles_list = [Oracles() for _ in circuits]
+        prover = Prover(spec, n, num_wire_types)
+
+        # Round 1
+        wires_poly_comms_vec = []
+        wire_values_list = []
+        for i, c in enumerate(circuits):
+            wire_values = [spec.to_device(col) for col in c.wire_values()]
+            wire_values_list.append(wire_values)
+            comms, polys = prover.run_1st_round(pks[i].commit_key, wire_values,
+                                               rng, mask)
+            oracles_list[i].wire_polys = polys
+            oracles_list[i].pub_inp_poly = prover.pub_input_poly(
+                spec.to_device(c.pub_input_vector()))
+            transcript.append_commitments(b"witness_poly_comms", comms)
+            wires_poly_comms_vec.append(comms)
+
+        # Round 1.5 (Plookup; TurboPlonk still squeezes tau, snark.rs:293)
+        challenges.tau = transcript.get_and_append_challenge(b"tau")
+
+        # Round 2
+        challenges.beta = transcript.get_and_append_challenge(b"beta")
+        challenges.gamma = transcript.get_and_append_challenge(b"gamma")
+        prod_perm_poly_comms_vec = []
+        for i, c in enumerate(circuits):
+            comm, poly = prover.run_2nd_round(
+                pks[i].commit_key, wire_values_list[i], pks[i].id_evals,
+                pks[i].sigma_evals, challenges.beta, challenges.gamma, rng, mask)
+            oracles_list[i].prod_perm_poly = poly
+            transcript.append_commitment(b"perm_poly_comms", comm)
+            prod_perm_poly_comms_vec.append(comm)
+
+        # Round 3
+        challenges.alpha = transcript.get_and_append_challenge(b"alpha")
+        alpha3 = pow(challenges.alpha, 3, p)
+        quot_sum = None
+        alpha_base = 1
+        for i in range(len(circuits)):
+            quot = prover.compute_quotient_coset_evals(pks[i], challenges,
+                                                       oracles_list[i])
+            if quot_sum is None:
+                quot_sum = quot
+            else:
+                quot_sum = F.add(spec, quot_sum,
+                                 F.mul(spec, quot, _const(spec, alpha_base)))
+            alpha_base = alpha_base * alpha3 % p
+        split_quot_poly_comms, split_quot_polys = prover.run_3rd_round(
+            pks[0].commit_key, quot_sum, rng, mask)
+        transcript.append_commitments(b"quot_poly_comms", split_quot_poly_comms)
+
+        # Round 4
+        challenges.zeta = transcript.get_and_append_challenge(b"zeta")
+        poly_evals_vec = []
+        for i in range(len(circuits)):
+            evals = prover.compute_evaluations(pks[i], challenges, oracles_list[i])
+            transcript.append_proof_evaluations(evals)
+            poly_evals_vec.append(evals)
+
+        lin_poly = prover.compute_quotient_component_for_lin_poly(
+            challenges.zeta, split_quot_polys)
+        alpha_base = 1
+        for i in range(len(circuits)):
+            comp = prover.compute_non_quotient_component_for_lin_poly(
+                alpha_base, pks[i], challenges, oracles_list[i], poly_evals_vec[i])
+            from ..ops import poly as POL
+            lin_poly = POL.add_padded(spec, lin_poly, comp)
+            alpha_base = alpha_base * alpha3 % p
+
+        # Round 5
+        challenges.v = transcript.get_and_append_challenge(b"v")
+        opening_proof, shifted_opening_proof = prover.compute_opening_proofs(
+            pks[0].commit_key, pks, challenges.zeta, challenges.v, oracles_list,
+            lin_poly)
+
+        return (
+            BatchProof(
+                wires_poly_comms_vec=wires_poly_comms_vec,
+                prod_perm_poly_comms_vec=prod_perm_poly_comms_vec,
+                poly_evals_vec=poly_evals_vec,
+                plookup_proofs_vec=[None] * len(circuits),
+                split_quot_poly_comms=split_quot_poly_comms,
+                opening_proof=opening_proof,
+                shifted_opening_proof=shifted_opening_proof,
+            ),
+            oracles_list,
+            challenges,
+        )
+
+    # -- verify ------------------------------------------------------------
+    def verify(self, vk: VerifyingKey, public_input, proof: Proof,
+               extra_transcript_init_msg: bytes | None = None):
+        self.batch_verify([vk], [public_input], [proof],
+                          [extra_transcript_init_msg])
+
+    def batch_verify(self, vks, public_inputs, proofs,
+                     extra_transcript_init_msgs=None):
+        """snark.rs:141-190."""
+        if extra_transcript_init_msgs is None:
+            extra_transcript_init_msgs = [None] * len(proofs)
+        if not (len(vks) == len(proofs) == len(public_inputs)
+                == len(extra_transcript_init_msgs)):
+            raise PlonkError("inconsistent verify inputs")
+        pcs_infos = []
+        for vk, proof, pi, extra in zip(vks, proofs, public_inputs,
+                                        extra_transcript_init_msgs):
+            verifier = Verifier(self.curve, vk.domain_size)
+            pcs_infos.append(verifier.prepare_pcs_info(
+                [vk], [pi], BatchProof.from_proof(proof), extra))
+        if not Verifier.batch_verify_opening_proofs(
+                self.curve, vks[0].open_key, pcs_infos):
+            raise WrongProof("proof verification failed")
+
+    def verify_batch_proof(self, vks, public_inputs, batch_proof: BatchProof):
+        """snark.rs:117-138 (one aggregated proof, many instances)."""
+        verifier = Verifier(self.curve, vks[0].domain_size)
+        pcs_info = verifier.prepare_pcs_info(vks, public_inputs, batch_proof, None)
+        if not Verifier.batch_verify_opening_proofs(
+                self.curve, vks[0].open_key, [pcs_info]):
+            raise WrongProof("batch proof verification failed")

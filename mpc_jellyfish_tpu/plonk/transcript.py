@@ -1,0 +1,90 @@
+"""Fiat-Shamir transcripts.
+
+Mirrors the reference `PlonkTranscript` trait (`plonk/src/transcript/mod.rs:40`)
+with the Solidity/keccak256 instantiation (`solidity.rs:31-77`) as the
+default.  The transcript is pure host-side work (hashes of a few KB per
+proof); challenges cross to the device as Montgomery limb constants.
+
+Message order is the cross-implementation compatibility linchpin - it follows
+`append_vk_and_pub_input` (transcript/mod.rs:45-102) and the round schedule
+in `snark.rs:262-431` exactly.
+"""
+
+from __future__ import annotations
+
+from ..curves import CurveSpec
+from ..utils.keccak import keccak256
+from ..utils.serialize import (
+    field_to_bytes, g1_to_bytes, usize_to_bytes, u32_to_bytes,
+)
+
+KECCAK256_STATE_SIZE = 64
+EXTRA_TRANSCRIPT_MSG_LABEL = b"extra info"
+
+
+class SolidityTranscript:
+    """Keccak256 transcript (reference `solidity.rs`).
+
+    state: 64 zero bytes initially.  append only accumulates bytes; a
+    challenge squeezes  state = H(state|transcript|0) || H(state|transcript|1)
+    and samples state[..48] mod r.  (Labels are dropped, as in the reference.)
+    """
+
+    def __init__(self, curve: CurveSpec, label: bytes = b"PlonkProof"):
+        self.curve = curve
+        self.transcript = bytearray()
+        self.state = bytes(KECCAK256_STATE_SIZE)
+
+    def append_message(self, label: bytes, msg: bytes):
+        self.transcript += msg
+
+    def append_field(self, label: bytes, v: int):
+        self.append_message(label, field_to_bytes(self.curve.fr, v))
+
+    def append_commitment(self, label: bytes, comm):
+        self.append_message(label, g1_to_bytes(self.curve, comm))
+
+    def append_commitments(self, label: bytes, comms):
+        for c in comms:
+            self.append_commitment(label, c)
+
+    def append_vk_and_pub_input(self, vk, pub_input):
+        """Reference transcript/mod.rs:45-102."""
+        self.append_message(b"field size in bits",
+                            u32_to_bytes(self.curve.fr.p.bit_length()))
+        self.append_message(b"domain size", usize_to_bytes(vk.domain_size))
+        self.append_message(b"input size", usize_to_bytes(vk.num_inputs))
+        for ki in vk.k:
+            self.append_message(b"wire subsets separators",
+                                field_to_bytes(self.curve.fr, ki))
+        for c in vk.selector_comms:
+            self.append_message(b"selector commitments", g1_to_bytes(self.curve, c))
+        for c in vk.sigma_comms:
+            self.append_message(b"sigma commitments", g1_to_bytes(self.curve, c))
+        for x in pub_input:
+            self.append_message(b"public input", field_to_bytes(self.curve.fr, x))
+
+    def append_proof_evaluations(self, evals):
+        """Reference transcript/mod.rs:149-168."""
+        for w in evals.wires_evals:
+            self.append_field(b"wire_evals", w)
+        for s in evals.wire_sigma_evals:
+            self.append_field(b"wire_sigma_evals", s)
+        self.append_field(b"perm_next_eval", evals.perm_next_eval)
+
+    def append_plookup_evaluations(self, evals):
+        """Reference transcript/mod.rs:171-205."""
+        self.append_field(b"lookup_table_eval", evals.range_table_eval)
+        self.append_field(b"h_1_eval", evals.h_1_eval)
+        self.append_field(b"prod_next_eval", evals.prod_next_eval)
+        self.append_field(b"lookup_table_next_eval", evals.range_table_next_eval)
+        self.append_field(b"h_1_next_eval", evals.h_1_next_eval)
+        self.append_field(b"h_2_next_eval", evals.h_2_next_eval)
+
+    def get_and_append_challenge(self, label: bytes) -> int:
+        """Reference solidity.rs:53-77."""
+        base = self.state + bytes(self.transcript)
+        buf0 = keccak256(base + b"\x00")
+        buf1 = keccak256(base + b"\x01")
+        self.state = buf0 + buf1
+        return int.from_bytes(self.state[:48], "little") % self.curve.fr.p

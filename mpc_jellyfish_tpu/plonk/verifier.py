@@ -1,0 +1,393 @@
+"""Plonk verifier (host-side).
+
+Mirror of `plonk/src/proof_system/verifier.rs`: recompute Fiat-Shamir
+challenges, build the aggregated commitment (scalars-and-bases), aggregate
+evaluations, and run the single 2-pairing product check.
+
+Verification is milliseconds-scale host work (a ~30-term MSM + 2 pairings);
+it intentionally stays off the device.  `ScalarsAndBases` mirrors
+structs.rs:850-891.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..curves import CurveSpec
+from ..utils.ec_host import AffinePoint, ec_add, ec_mul, ec_neg
+from .. import pairing as PR
+from .structs import BatchProof, Challenges, VerifyingKey
+from .structs import eval_merged_lookup_witness, eval_merged_table
+from .transcript import SolidityTranscript, EXTRA_TRANSCRIPT_MSG_LABEL
+
+GATE_WIDTH = 4
+
+
+class ScalarsAndBases:
+    """Deferred MSM accumulator (reference structs.rs:850)."""
+
+    def __init__(self):
+        self.pairs: list = []
+
+    def push(self, scalar: int, base: AffinePoint):
+        self.pairs.append((scalar, base))
+
+    def merge(self, scale: int, other: "ScalarsAndBases", p: int):
+        for (s, b) in other.pairs:
+            self.pairs.append((s * scale % p, b))
+
+    def multi_scalar_mul(self, fq_p: int, fr_p: int) -> AffinePoint:
+        acc = AffinePoint.infinity()
+        for (s, b) in self.pairs:
+            acc = ec_add(fq_p, acc, ec_mul(fq_p, b, s % fr_p))
+        return acc
+
+
+@dataclass
+class PcsInfo:
+    """Reference verifier.rs:40-48."""
+    u: int
+    eval_point: int
+    next_eval_point: int
+    eval: int
+    comm_scalars_and_bases: ScalarsAndBases
+    opening_proof: AffinePoint
+    shifted_opening_proof: AffinePoint
+
+
+class Verifier:
+    """Mirror of verifier.rs `Verifier`."""
+
+    def __init__(self, curve: CurveSpec, domain_size: int):
+        from ..ops.ntt import Domain
+        self.curve = curve
+        self.p = curve.fr.p
+        self.n = domain_size
+        dom = Domain(curve.fr, domain_size)
+        self.group_gen = dom.w
+        self.group_gen_inv = dom.w_inv
+
+    # -- challenges (verifier.rs:256-321) --------------------------------
+    def compute_challenges(self, vks, public_inputs, batch_proof: BatchProof,
+                           extra_transcript_init_msg=None) -> Challenges:
+        t = SolidityTranscript(self.curve)
+        if extra_transcript_init_msg is not None:
+            t.append_message(EXTRA_TRANSCRIPT_MSG_LABEL, extra_transcript_init_msg)
+        for vk, pi in zip(vks, public_inputs):
+            t.append_vk_and_pub_input(vk, pi)
+        for comms in batch_proof.wires_poly_comms_vec:
+            t.append_commitments(b"witness_poly_comms", comms)
+        tau = t.get_and_append_challenge(b"tau")
+        for plookup_proof in batch_proof.plookup_proofs_vec:
+            if plookup_proof is not None:
+                t.append_commitments(b"h_poly_comms", plookup_proof.h_poly_comms)
+        beta = t.get_and_append_challenge(b"beta")
+        gamma = t.get_and_append_challenge(b"gamma")
+        for comm in batch_proof.prod_perm_poly_comms_vec:
+            t.append_commitment(b"perm_poly_comms", comm)
+        for plookup_proof in batch_proof.plookup_proofs_vec:
+            if plookup_proof is not None:
+                t.append_commitment(b"plookup_poly_comms",
+                                    plookup_proof.prod_lookup_poly_comm)
+        alpha = t.get_and_append_challenge(b"alpha")
+        t.append_commitments(b"quot_poly_comms", batch_proof.split_quot_poly_comms)
+        zeta = t.get_and_append_challenge(b"zeta")
+        for evals in batch_proof.poly_evals_vec:
+            t.append_proof_evaluations(evals)
+        for plookup_proof in batch_proof.plookup_proofs_vec:
+            if plookup_proof is not None:
+                t.append_plookup_evaluations(plookup_proof.poly_evals)
+        v = t.get_and_append_challenge(b"v")
+        t.append_commitment(b"open_proof", batch_proof.opening_proof)
+        t.append_commitment(b"shifted_open_proof", batch_proof.shifted_opening_proof)
+        u = t.get_and_append_challenge(b"u")
+        return Challenges(tau=tau, alpha=alpha, beta=beta, gamma=gamma,
+                          zeta=zeta, v=v, u=u)
+
+    # -- helpers ----------------------------------------------------------
+    def evaluate_vanishing_poly(self, zeta: int) -> int:
+        return (pow(zeta, self.n, self.p) - 1) % self.p
+
+    def evaluate_lagrange_1_and_n(self, zeta: int, vanish_eval: int):
+        p = self.p
+        l1 = vanish_eval * pow(self.n * (zeta - 1) % p, -1, p) % p
+        ln = (vanish_eval * self.group_gen_inv % p
+              * pow(self.n * (zeta - self.group_gen_inv) % p, -1, p) % p)
+        return l1, ln
+
+    def evaluate_pi_poly(self, pub_input, z: int, vanish_eval: int,
+                         circuit_is_merged: bool) -> int:
+        """verifier.rs:845-880."""
+        p = self.p
+        if vanish_eval == 0:
+            return 0
+        length = len(pub_input) // 2 if circuit_is_merged else len(pub_input)
+        vanish_div_n = pow(self.n, -1, p) * vanish_eval % p
+        result = 0
+        elem = 1
+        for i in range(length):
+            lag = vanish_div_n * elem % p * pow((z - elem) % p, -1, p) % p
+            result = (result + lag * pub_input[i]) % p
+            elem = elem * self.group_gen % p
+        if circuit_is_merged:
+            gi = pow(self.group_gen, self.n - 1, p)
+            for i in range(length):
+                lag = vanish_div_n * gi % p * pow((z - gi) % p, -1, p) % p
+                result = (result + lag * pub_input[length + i]) % p
+                gi = gi * self.group_gen_inv % p
+        return result
+
+    # -- lin poly constant (verifier.rs:340-414) ---------------------------
+    def compute_lin_poly_constant_term(self, challenges, vks, public_inputs,
+                                       batch_proof, vanish_eval, l1, ln,
+                                       alpha_powers, alpha_bases) -> int:
+        p = self.p
+        ch = challenges
+        result = 0
+        for poly_evals, plookup_proof, pi, vk, ab in zip(
+                batch_proof.poly_evals_vec, batch_proof.plookup_proofs_vec,
+                public_inputs, vks, alpha_bases):
+            tmp = (self.evaluate_pi_poly(pi, ch.zeta, vanish_eval, vk.is_merged)
+                   - alpha_powers[0] * l1) % p
+            num_wire_types = GATE_WIDTH + 1 + (1 if plookup_proof is not None else 0)
+            w = poly_evals.wires_evals
+            acc = ch.alpha * poly_evals.perm_next_eval % p * (ch.gamma + w[num_wire_types - 1]) % p
+            for we, se in zip(w[:num_wire_types - 1], poly_evals.wire_sigma_evals):
+                acc = acc * (ch.gamma + we + ch.beta * se) % p
+            tmp = (tmp - acc) % p
+            if plookup_proof is not None:
+                ev = plookup_proof.poly_evals
+                gb1 = ch.gamma * (1 + ch.beta) % p
+                plookup_constant = (
+                    ln * (ev.h_1_eval - ev.h_2_next_eval - alpha_powers[0]) % p
+                    - ch.alpha * l1
+                    - alpha_powers[1] * (ch.zeta - self.group_gen_inv) % p
+                    * ev.prod_next_eval % p
+                    * (gb1 + ev.h_1_eval + ch.beta * ev.h_1_next_eval) % p
+                    * (gb1 + ch.beta * ev.h_2_next_eval) % p
+                ) % p
+                tmp = (tmp + alpha_powers[1] * plookup_constant) % p
+            result = (result + ab * tmp) % p
+        return result
+
+    # -- linearization scalars and bases (verifier.rs:513-668) -------------
+    def linearization_scalars_and_bases(self, vks, challenges, vanish_eval,
+                                        l1, ln, batch_proof, alpha_powers,
+                                        alpha_bases) -> ScalarsAndBases:
+        p = self.p
+        ch = challenges
+        sb = ScalarsAndBases()
+        beta_plus_one = (1 + ch.beta) % p
+        gb1 = beta_plus_one * ch.gamma % p
+
+        for i, (vk, ab) in enumerate(zip(vks, alpha_bases)):
+            w = batch_proof.poly_evals_vec[i].wires_evals
+            # permutation product commitment coeff
+            coeff = alpha_powers[0] * l1 % p
+            acc = ch.alpha
+            for we, k in zip(w, vk.k):
+                acc = acc * (ch.beta * k % p * ch.zeta + ch.gamma + we) % p
+            coeff = (coeff + acc) * ab % p
+            sb.push(coeff, batch_proof.prod_perm_poly_comms_vec[i])
+
+            # last sigma commitment coeff
+            num_wire_types = len(batch_proof.wires_poly_comms_vec[i])
+            sigma_evals = batch_proof.poly_evals_vec[i].wire_sigma_evals
+            acc = ch.alpha * ch.beta % p * batch_proof.poly_evals_vec[i].perm_next_eval % p
+            for we, se in zip(w[:num_wire_types - 1], sigma_evals):
+                acc = acc * (ch.beta * se + ch.gamma + we) % p
+            sb.push((p - acc * ab % p) % p, vk.sigma_comms[-1])
+
+            # selector commitments; order: q_lc x4, q_mul x2, q_hash x4, q_o, q_c, q_ecc
+            q_scalars = [w[0], w[1], w[2], w[3],
+                         w[0] * w[1] % p, w[2] * w[3] % p,
+                         pow(w[0], 5, p), pow(w[1], 5, p), pow(w[2], 5, p), pow(w[3], 5, p),
+                         (p - w[4]) % p, 1,
+                         w[0] * w[1] % p * w[2] % p * w[3] % p * w[4] % p]
+            for s, comm in zip(q_scalars, vk.selector_comms):
+                sb.push(s * ab % p, comm)
+
+            # Plookup terms
+            lookup_proof = batch_proof.plookup_proofs_vec[i]
+            if lookup_proof is not None:
+                ev = lookup_proof.poly_evals
+                merged_lookup_x = eval_merged_lookup_witness(
+                    p, ch.tau, w[5], w[0], w[1], w[2],
+                    ev.q_lookup_eval, ev.q_dom_sep_eval)
+                merged_table_x = eval_merged_table(
+                    p, ch.tau, ev.range_table_eval, ev.key_table_eval,
+                    ev.q_lookup_eval, w[3], w[4], ev.table_dom_sep_eval)
+                merged_table_xw = eval_merged_table(
+                    p, ch.tau, ev.range_table_next_eval, ev.key_table_next_eval,
+                    ev.q_lookup_next_eval, ev.w_3_next_eval, ev.w_4_next_eval,
+                    ev.table_dom_sep_next_eval)
+                coeff = (alpha_powers[2] * l1
+                         + alpha_powers[3] * ln
+                         + alpha_powers[4] * (ch.zeta - self.group_gen_inv)
+                         * beta_plus_one % p
+                         * (ch.gamma + merged_lookup_x) % p
+                         * (gb1 + merged_table_x + ch.beta * merged_table_xw)) % p
+                sb.push(coeff * ab % p, lookup_proof.prod_lookup_poly_comm)
+
+                coeff = (ab * alpha_powers[4] % p
+                         * (self.group_gen_inv - ch.zeta) % p
+                         * ev.prod_next_eval % p
+                         * (gb1 + ev.h_1_eval + ch.beta * ev.h_1_next_eval)) % p
+                sb.push(coeff, lookup_proof.h_poly_comms[1])
+
+        # split quotient commitments
+        zeta_np2 = (1 + vanish_eval) * pow(ch.zeta, 2, p) % p
+        coeff = (p - vanish_eval) % p
+        sb.push(coeff, batch_proof.split_quot_poly_comms[0])
+        for comm in batch_proof.split_quot_poly_comms[1:]:
+            coeff = coeff * zeta_np2 % p
+            sb.push(coeff, comm)
+        return sb
+
+    # -- aggregation (verifier.rs:421-507, 673-733) ------------------------
+    def aggregate_poly_commitments(self, vks, challenges, vanish_eval, l1, ln,
+                                   batch_proof, alpha_powers, alpha_bases):
+        p = self.p
+        ch = challenges
+        sb = self.linearization_scalars_and_bases(
+            vks, challenges, vanish_eval, l1, ln, batch_proof, alpha_powers,
+            alpha_bases)
+        v_base = ch.v
+        uv_base = ch.u
+        buffer_v_and_uv_basis = []
+        for i, vk in enumerate(vks):
+            for comm in batch_proof.wires_poly_comms_vec[i]:
+                buffer_v_and_uv_basis.append(v_base)
+                sb.push(v_base, comm)
+                v_base = v_base * ch.v % p
+            num_wire_types = len(batch_proof.wires_poly_comms_vec[i])
+            for comm in vk.sigma_comms[:num_wire_types - 1]:
+                buffer_v_and_uv_basis.append(v_base)
+                sb.push(v_base, comm)
+                v_base = v_base * ch.v % p
+            buffer_v_and_uv_basis.append(uv_base)
+            sb.push(uv_base, batch_proof.prod_perm_poly_comms_vec[i])
+            uv_base = uv_base * ch.v % p
+
+            lookup_proof = batch_proof.plookup_proofs_vec[i]
+            if lookup_proof is not None:
+                plookup_comms = [
+                    vk.plookup_vk.range_table_comm, vk.plookup_vk.key_table_comm,
+                    lookup_proof.h_poly_comms[0], vk.q_lookup_comm(),
+                    vk.plookup_vk.table_dom_sep_comm, vk.plookup_vk.q_dom_sep_comm,
+                ]
+                for comm in plookup_comms:
+                    buffer_v_and_uv_basis.append(v_base)
+                    sb.push(v_base, comm)
+                    v_base = v_base * ch.v % p
+                shifted = [
+                    lookup_proof.prod_lookup_poly_comm,
+                    vk.plookup_vk.range_table_comm, vk.plookup_vk.key_table_comm,
+                    lookup_proof.h_poly_comms[0], lookup_proof.h_poly_comms[1],
+                    vk.q_lookup_comm(),
+                    batch_proof.wires_poly_comms_vec[i][3],
+                    batch_proof.wires_poly_comms_vec[i][4],
+                    vk.plookup_vk.table_dom_sep_comm,
+                ]
+                for comm in shifted:
+                    buffer_v_and_uv_basis.append(uv_base)
+                    sb.push(uv_base, comm)
+                    uv_base = uv_base * ch.v % p
+        return sb, buffer_v_and_uv_basis
+
+    def aggregate_evaluations(self, lin_poly_constant, poly_evals_vec,
+                              plookup_proofs_vec, buffer_v_and_uv_basis) -> int:
+        p = self.p
+        result = (p - lin_poly_constant) % p
+        it = iter(buffer_v_and_uv_basis)
+        for poly_evals, plookup_proof in zip(poly_evals_vec, plookup_proofs_vec):
+            for we in poly_evals.wires_evals:
+                result = (result + next(it) * we) % p
+            for se in poly_evals.wire_sigma_evals:
+                result = (result + next(it) * se) % p
+            result = (result + next(it) * poly_evals.perm_next_eval) % p
+            if plookup_proof is not None:
+                ev = plookup_proof.poly_evals
+                for e in ev.evals_vec():
+                    result = (result + next(it) * e) % p
+                for e in ev.next_evals_vec():
+                    result = (result + next(it) * e) % p
+        try:
+            next(it)
+            raise ValueError("buffer not fully consumed")
+        except StopIteration:
+            pass
+        return result
+
+    # -- full preparation (verifier.rs:68-184) ------------------------------
+    def prepare_pcs_info(self, vks, public_inputs, batch_proof,
+                         extra_transcript_init_msg=None) -> PcsInfo:
+        p = self.p
+        challenges = self.compute_challenges(
+            vks, public_inputs, batch_proof, extra_transcript_init_msg)
+        alpha = challenges.alpha
+        alpha_powers = [pow(alpha, i, p) for i in range(2, 7)]
+        alpha_bases = [1]
+        tmp = pow(alpha, 7 if vks[0].plookup_vk is not None else 3, p)
+        if len(vks) > 1:
+            cur = tmp
+            for _ in range(len(vks) - 1):
+                alpha_bases.append(cur)
+                cur = cur * tmp % p
+        vanish_eval = self.evaluate_vanishing_poly(challenges.zeta)
+        l1, ln = self.evaluate_lagrange_1_and_n(challenges.zeta, vanish_eval)
+        lin_const = self.compute_lin_poly_constant_term(
+            challenges, vks, public_inputs, batch_proof, vanish_eval, l1, ln,
+            alpha_powers, alpha_bases)
+        sb, buffer = self.aggregate_poly_commitments(
+            vks, challenges, vanish_eval, l1, ln, batch_proof, alpha_powers,
+            alpha_bases)
+        eval_ = self.aggregate_evaluations(
+            lin_const, batch_proof.poly_evals_vec, batch_proof.plookup_proofs_vec,
+            buffer)
+        return PcsInfo(
+            u=challenges.u,
+            eval_point=challenges.zeta,
+            next_eval_point=challenges.zeta * self.group_gen % p,
+            eval=eval_,
+            comm_scalars_and_bases=sb,
+            opening_proof=batch_proof.opening_proof,
+            shifted_opening_proof=batch_proof.shifted_opening_proof,
+        )
+
+    @staticmethod
+    def batch_verify_opening_proofs(curve: CurveSpec, open_key, pcs_infos) -> bool:
+        """verifier.rs:195-251."""
+        p = curve.fr.p
+        fq_p = curve.fq.p
+        if len(pcs_infos) == 1:
+            r = 1
+        else:
+            t = SolidityTranscript(curve, b"batch verify")
+            for info in pcs_infos:
+                t.append_field(b"u", info.u)
+            r = t.get_and_append_challenge(b"r")
+        # A = sum r^i (W_i + u_i W'_i)
+        inners = ScalarsAndBases()
+        r_base = 1
+        for info in pcs_infos:
+            inners.push(r_base, info.opening_proof)
+            inners.push(r_base * info.u % p, info.shifted_opening_proof)
+            r_base = r_base * r % p
+        a = inners.multi_scalar_mul(fq_p, p)
+        # B = sum r^i (C_i + z_i W_i + u_i z_i' W'_i - eval_i G)
+        inners = ScalarsAndBases()
+        r_base = 1
+        sum_evals = 0
+        for info in pcs_infos:
+            inners.merge(r_base, info.comm_scalars_and_bases, p)
+            inners.push(r_base * info.eval_point % p, info.opening_proof)
+            inners.push(r_base * info.u % p * info.next_eval_point % p,
+                        info.shifted_opening_proof)
+            sum_evals = (sum_evals + r_base * info.eval) % p
+            r_base = r_base * r % p
+        inners.push((p - sum_evals) % p, open_key.g)
+        b = inners.multi_scalar_mul(fq_p, p)
+        # e(A, [x]2) == e(B, [1]2)
+        return PR.pairing_check(
+            curve, [a, ec_neg(fq_p, b)], [open_key.beta_h, open_key.h])

@@ -40,29 +40,23 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_limbs(xs, num_limbs: int) -> np.ndarray:
-    """Convert a sequence of ints to uint32[L, N] (limb-major batch)."""
-    n = len(xs)
-    out = np.zeros((num_limbs, n), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        if x < 0:
-            raise ValueError("negative")
-        for i in range(num_limbs):
-            out[i, j] = x & LIMB_MASK
-            x >>= LIMB_BITS
-        if x != 0:
-            raise ValueError("int too large for limb count")
-    return out
+    """Convert a sequence of ints to uint32[L, N] (limb-major batch).
+
+    Fast path: serialize each int with int.to_bytes (C speed) and reinterpret
+    the buffer as little-endian uint16 limbs.
+    """
+    nbytes = 2 * num_limbs
+    buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)  # raises if too big/neg
+    arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), num_limbs)
+    return np.ascontiguousarray(arr.T).astype(np.uint32)
 
 
 def limbs_to_ints(limbs) -> list:
     """Convert uint32[L, *batch] to a flat list of ints (C-order batch)."""
     arr = np.asarray(limbs)
     L = arr.shape[0]
-    flat = arr.reshape(L, -1)
-    out = []
-    for j in range(flat.shape[1]):
-        x = 0
-        for i in reversed(range(L)):
-            x = (x << LIMB_BITS) | int(flat[i, j])
-        out.append(x)
-    return out
+    flat = arr.reshape(L, -1).T.astype("<u2")  # [N, L] uint16
+    buf = flat.tobytes()
+    nbytes = 2 * L
+    return [int.from_bytes(buf[j * nbytes:(j + 1) * nbytes], "little")
+            for j in range(flat.shape[0])]
