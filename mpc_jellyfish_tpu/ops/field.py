@@ -185,8 +185,8 @@ def _geq(spec: FieldSpec, a: jnp.ndarray, b_limbs) -> jnp.ndarray:
         eq = eq & (ra == rb)
         return (gt, eq), None
 
-    init = (jnp.zeros(a.shape[1:], dtype=jnp.bool_),
-            jnp.ones(a.shape[1:], dtype=jnp.bool_))
+    # inits derived from `a` so they inherit shard_map varying-axis types
+    init = (a[0] != a[0], a[0] == a[0])
     (gt, eq), _ = jax.lax.scan(body, init, (jnp.flip(a, 0), jnp.flip(b, 0)))
     return gt | eq
 
@@ -202,7 +202,7 @@ def _sub_limbs(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray):
         borrow = (d < 0).astype(I32)
         return borrow, (d + (borrow << LIMB_BITS)).astype(U32)
 
-    borrow, rows = jax.lax.scan(body, jnp.zeros(a.shape[1:], dtype=I32), (a, b))
+    borrow, rows = jax.lax.scan(body, (a[0] * 0).astype(I32), (a, b))
     return rows, borrow > 0
 
 
@@ -213,7 +213,7 @@ def _add_limbs(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray):
         s = ra + rb + carry
         return s >> LIMB_BITS, s & LIMB_MASK
 
-    carry, rows = jax.lax.scan(body, jnp.zeros(a.shape[1:], dtype=U32), (a, b))
+    carry, rows = jax.lax.scan(body, a[0] * 0, (a, b))
     return rows, carry > 0
 
 
@@ -273,7 +273,8 @@ def _mul_rolled(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     L = spec.num_limbs
     batch_shape = a.shape[1:]
-    acc0 = jnp.zeros((2 * L + 1,) + batch_shape, dtype=U32)
+    zero_row = a[0] * 0 + b[0] * 0   # derived zero (inherits varying axes)
+    acc0 = jnp.broadcast_to(zero_row[None], (2 * L + 1,) + batch_shape).astype(U32)
     pad_lo = [(0, 1)] + [(0, 0)] * len(batch_shape)
     pad_hi = [(1, 0)] + [(0, 0)] * len(batch_shape)
 
@@ -308,7 +309,7 @@ def _mul_rolled(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         s = row + carry
         return s >> LIMB_BITS, s & LIMB_MASK
 
-    carry, rows = jax.lax.scan(carry_body, jnp.zeros(batch_shape, dtype=U32), acc[L:2 * L])
+    carry, rows = jax.lax.scan(carry_body, zero_row, acc[L:2 * L])
     top = acc[2 * L] + carry  # must end zero for in-range inputs (2p < R)
     return _cond_sub_p(spec, rows, force_mask=(top > 0))
 
@@ -385,7 +386,7 @@ def _pow_loop(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     """
     nbits = e.bit_length()
     bits = jnp.asarray([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.bool_)
-    res0 = ones(spec, a.shape[1:])
+    res0 = ones(spec, a.shape[1:]) + a * 0   # derived for shard_map varying axes
 
     def body(i, res):
         res = sqr(spec, res)
@@ -454,6 +455,21 @@ def cumprod(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
         a = jnp.where(mask, prod, a)
         shift *= 2
     return a
+
+
+def powers_outer(spec: FieldSpec, base: jnp.ndarray, k: int) -> jnp.ndarray:
+    """base [L, B] -> [L, B, k] with out[:, b, j] = base[:, b]^j.
+
+    Log-depth doubling along the new power axis.
+    """
+    L, B = base.shape
+    out = ones(spec, (B, 1))
+    bk = base[:, :, None]                    # base^(2^round)
+    while out.shape[2] < k:
+        nxt = mul(spec, out, bk)
+        out = jnp.concatenate([out, nxt], axis=2)
+        bk = sqr(spec, bk)
+    return out[:, :, :k]
 
 
 def cumsum(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:

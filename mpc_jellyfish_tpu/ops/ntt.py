@@ -52,7 +52,9 @@ class Domain:
         rev = np.zeros(self.n, dtype=np.int32)
         for b in range(self.log_n):
             rev |= ((idx >> b) & 1) << (self.log_n - 1 - b)
-        return jnp.asarray(rev)
+        # keep as numpy: cached jnp values materialized inside a trace would
+        # leak tracers (shard_map closures touch these lazily)
+        return rev
 
     def _twiddles(self, root: int):
         """Flat constant-geometry (Pease) twiddle table + per-stage offsets.
@@ -74,9 +76,10 @@ class Domain:
                 flat.append(spec.to_mont_int(cur))
                 cur = cur * step % spec.p
         flat.append(0)  # pad
+        # numpy (not jnp): see `bitrev` note on tracer leaks
         return (
-            jnp.asarray(ints_to_limbs(flat, spec.num_limbs)),
-            jnp.asarray(np.asarray(offsets, dtype=np.int32)),
+            ints_to_limbs(flat, spec.num_limbs),
+            np.asarray(offsets, dtype=np.int32),
         )
 
     @functools.cached_property
@@ -126,24 +129,31 @@ def _dif(spec: FieldSpec, x: jnp.ndarray, twiddles, log_n: int) -> jnp.ndarray:
     """Constant-geometry (Pease) DIF butterflies; output in bit-reversed order.
 
     Every stage does the same data movement:
-        a = x[:, :n/2]; b = x[:, n/2:]
+        a = x[..., :n/2]; b = x[..., n/2:]
         x' = interleave(a + b, (a - b) * W_s)
     so the whole transform is one `lax.scan` over stages - the compiled graph
     is O(1) in n, which keeps XLA compile times flat for large domains.
+
+    x may be [L, n] or [L, B, n] (batch of polynomials).
     """
-    L, n = x.shape
+    n = x.shape[-1]
     h = n // 2
     flat_tw, offsets = twiddles
+    flat_tw = jnp.asarray(flat_tw)      # numpy -> fresh constants at trace time
+    offsets = jnp.asarray(offsets)
     lane = jnp.arange(h, dtype=jnp.int32)
+    batched = x.ndim == 3
 
     def body(xc, s):
         idx = offsets[s] + (lane >> s)
         w = flat_tw[:, idx]                     # [L, h] expanded twiddles
-        a = xc[:, :h]
-        b = xc[:, h:]
+        if batched:
+            w = w[:, None, :]
+        a = xc[..., :h]
+        b = xc[..., h:]
         s_ = F.add(spec, a, b)
         d_ = F.mul(spec, F.sub(spec, a, b), w)
-        out = jnp.stack([s_, d_], axis=2).reshape(L, n)
+        out = jnp.stack([s_, d_], axis=-1).reshape(xc.shape[:-1] + (n,))
         return out, None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(log_n, dtype=jnp.int32))
@@ -153,13 +163,13 @@ def _dif(spec: FieldSpec, x: jnp.ndarray, twiddles, log_n: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=0)
 def _ntt_jit(domain: Domain, coeffs, twiddles, bitrev):
     y = _dif(domain.spec, coeffs, twiddles, domain.log_n)
-    return y[:, bitrev]
+    return jnp.take(y, bitrev, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _intt_jit(domain: Domain, evals, twiddles, bitrev):
     y = _dif(domain.spec, evals, twiddles, domain.log_n)
-    y = y[:, bitrev]
+    y = jnp.take(y, bitrev, axis=-1)
     return F.mul_const(domain.spec, y, domain.n_inv)
 
 
@@ -181,13 +191,13 @@ def intt(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
 def _coset_ntt_jit(domain: Domain, coeffs, pows, twiddles, bitrev):
     scaled = F.mul(domain.spec, coeffs, pows)
     y = _dif(domain.spec, scaled, twiddles, domain.log_n)
-    return y[:, bitrev]
+    return jnp.take(y, bitrev, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _coset_intt_jit(domain: Domain, evals, pows_inv, twiddles, bitrev):
     y = _dif(domain.spec, evals, twiddles, domain.log_n)
-    y = y[:, bitrev]
+    y = jnp.take(y, bitrev, axis=-1)
     y = F.mul_const(domain.spec, y, domain.n_inv)
     return F.mul(domain.spec, y, pows_inv)
 

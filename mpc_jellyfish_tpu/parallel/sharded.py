@@ -1,0 +1,191 @@
+"""Multi-chip sharded kernels: distributed NTT, cumprod, MSM.
+
+The scaling axis of a PLONK prover is the evaluation-domain size n
+(SURVEY.md §5 "long-context" analog); these kernels shard the domain across a
+``jax.sharding.Mesh`` axis and use XLA collectives over ICI:
+
+* distributed NTT: Bailey four-step decomposition n = n1 * n2 - local
+  n1-NTTs, twiddle scaling, `all_to_all` transpose, local n2-NTTs
+  (SURVEY.md §7 step 2; plays the role the reference delegates to
+  rayon-parallel arkworks FFTs).
+* distributed cumprod: local scan + `all_gather` of per-shard totals
+  (grand-product polynomials, constraint_system.rs:1197).
+* distributed MSM: local Pippenger window sums + gathered jac-reduction
+  (`VariableBaseMSM` parallelism).
+
+Everything works on any mesh size that divides the factor sizes; validated on
+a virtual CPU mesh (tests) and designed for ICI on real slices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import field as F
+from ..ops import ntt as N
+from ..ops import ec as E
+from ..ops import msm as M
+from ..ops.field import FieldSpec
+
+
+class DistributedNTT:
+    """Four-step NTT over a 1-D mesh axis.
+
+    Input layout:  x viewed as [L, n1, n2], sharded over the LAST axis (n2).
+    Output layout: X viewed as [L, n1, n2] with X[k2*n1 + k1] = out[:, k1, k2],
+    sharded over the MIDDLE axis (k1)... both expressed as [L, rows, cols]
+    arrays sharded on `cols` for uniformity: forward output is [L, n2t, n1]
+    tr... concretely:
+
+        fwd:  [L, n1, n2] sharded(cols) -> [L, n1, n2] "transposed eval
+              order": out[:, k1, k2] = X[k2*n1 + k1], sharded on k2? No:
+              see _fwd_body - output local block is [L, n1/d, n2], i.e. the
+              k1 axis is sharded and k2 is local-full.
+        inv:  exact inverse of fwd (returns the original layout).
+
+    The pointwise middle of a prover works in the transposed order, so no
+    extra global transpose is needed between fwd and inv.
+    """
+
+    def __init__(self, spec: FieldSpec, n: int, mesh: Mesh, axis: str,
+                 n1: int | None = None):
+        self.spec = spec
+        self.n = n
+        self.mesh = mesh
+        self.axis = axis
+        d = mesh.shape[axis]
+        self.d = d
+        if n1 is None:
+            n1 = 1 << (n.bit_length() // 2)
+            while n1 % d or (n // n1) % d:
+                n1 *= 2
+                if n1 > n:
+                    raise ValueError("mesh axis too large for domain")
+        self.n1, self.n2 = n1, n // n1
+        assert self.n1 % d == 0 and self.n2 % d == 0
+        self.dom1 = N.Domain(spec, self.n1)
+        self.dom2 = N.Domain(spec, self.n2)
+        self.dom = N.Domain(spec, n)
+        # w_n^{j2} row scales, sharded over j2
+        pw = F.powers(spec, spec.to_device([self.dom.w])[:, 0], self.n2)
+        self.row_scale = jax.device_put(
+            pw, NamedSharding(mesh, P(None, axis)))
+        pwi = F.powers(spec, spec.to_device([self.dom.w_inv])[:, 0], self.n2)
+        self.row_scale_inv = jax.device_put(
+            pwi, NamedSharding(mesh, P(None, axis)))
+
+    def _local_ntt(self, dom, xb):
+        """Batched local NTT over the last axis of [L, B, n_loc]."""
+        y = N._dif(self.spec, xb, dom.twiddles_fwd, dom.log_n)
+        return jnp.take(y, dom.bitrev, axis=-1)
+
+    def _local_intt(self, dom, xb):
+        y = N._dif(self.spec, xb, dom.twiddles_inv, dom.log_n)
+        y = jnp.take(y, dom.bitrev, axis=-1)
+        return F.mul_const(self.spec, y, dom.n_inv)
+
+    def forward(self, x):
+        """x: [L, n1, n2] sharded on axis 2.  Returns [L, n1, n2] sharded on
+        axis 1 with out[:, k1, k2] = X[k2*n1 + k1]."""
+        spec, axis = self.spec, self.axis
+
+        def body(xb, row_scale_b):
+            # xb: [L, n1, n2/d]; NTT over n1 => transpose to put n1 last
+            yb = jnp.swapaxes(xb, 1, 2)                    # [L, n2/d, n1]
+            yb = self._local_ntt(self.dom1, yb)            # [L, n2/d, k1=n1]
+            # twiddle: * w_n^{j2 * k1} = (w^{j2})^{k1}
+            tw = F.powers_outer(spec, row_scale_b, self.n1)  # [L, n2/d, n1]
+            yb = F.mul(spec, yb, tw)
+            # transpose across devices: split k1, concat j2
+            yb = jax.lax.all_to_all(yb, axis, split_axis=2, concat_axis=1,
+                                    tiled=True)            # [L, n2, n1/d]
+            yb = jnp.swapaxes(yb, 1, 2)                    # [L, n1/d, n2]
+            yb = self._local_ntt(self.dom2, yb)            # [L, n1/d, k2=n2]
+            return yb
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(None, None, axis), P(None, axis)),
+            out_specs=P(None, axis, None),
+        )
+        return jax.jit(fn)(x, self.row_scale)
+
+    def inverse(self, y):
+        """Inverse of `forward` (returns [L, n1, n2] sharded on axis 2)."""
+        spec, axis = self.spec, self.axis
+
+        def body(yb, row_scale_inv_b):
+            # yb: [L, n1/d, n2]
+            xb = self._local_intt(self.dom2, yb)           # [L, n1/d, j2=n2]
+            xb = jnp.swapaxes(xb, 1, 2)                    # [L, n2, n1/d]
+            xb = jax.lax.all_to_all(xb, axis, split_axis=1, concat_axis=2,
+                                    tiled=True)            # [L, n2/d, n1]
+            twi = F.powers_outer(spec, row_scale_inv_b, self.n1)
+            xb = F.mul(spec, xb, twi)
+            xb = self._local_intt(self.dom1, xb)           # [L, n2/d, n1]
+            return jnp.swapaxes(xb, 1, 2)                  # [L, n1, n2/d]
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(None, axis, None), P(None, axis)),
+            out_specs=P(None, None, axis),
+        )
+        return jax.jit(fn)(y, self.row_scale_inv)
+
+
+def distributed_cumprod(spec: FieldSpec, x, mesh: Mesh, axis: str):
+    """Inclusive field cumprod of [L, n] sharded over the trailing axis."""
+
+    def body(xb):
+        local = F.cumprod(spec, xb, axis=1)
+        total = local[:, -1:]
+        totals = jax.lax.all_gather(total, axis, axis=1, tiled=True)  # [L, d]
+        all_pref = F.cumprod(spec, totals, axis=1)
+        idx = jax.lax.axis_index(axis)
+        prev = jnp.where(idx == 0,
+                         F.ones(spec, (1,)),
+                         jax.lax.dynamic_slice_in_dim(
+                             all_pref, jnp.maximum(idx - 1, 0), 1, axis=1))
+        return F.mul(spec, local, prev)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(None, axis),),
+                   out_specs=P(None, axis))
+    return jax.jit(fn)(x)
+
+
+def distributed_msm(spec: FieldSpec, points, scalars, mesh: Mesh, axis: str,
+                    c: int = 8):
+    """MSM with points/scalars sharded over the trailing axis.
+
+    Local Pippenger window accumulation per shard, then an all_gather +
+    jac-tree reduction of the d per-shard window sums, then a single window
+    combine (replicated - it is O(bits) scalar work).
+    """
+    d = mesh.shape[axis]
+
+    def body(xb, yb, infb, sb):
+        digits = M._window_digits(sb, c)
+        wsums = M._msm_windows(spec, (xb, yb, infb), digits, c)  # tuple [W, L]
+        gathered = tuple(
+            jax.lax.all_gather(t, axis, axis=0, tiled=False) for t in wsums)
+        # reduce over the device axis (d is small and static); EC ops want
+        # limb-major [L, W]
+        acc = tuple(t[0].T for t in gathered)
+        for i in range(1, d):
+            acc = E.jac_add(spec, acc, tuple(t[i].T for t in gathered))
+        return tuple(t.T for t in acc)   # back to [W, L]
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis), P(None, axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # result is replicated by construction (all_gather+reduce)
+    )
+    x, y, inf = points
+    wsums = jax.jit(fn)(x, y, inf, scalars)
+    return M._combine_windows(spec, wsums, c)
