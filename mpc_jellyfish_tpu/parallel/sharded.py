@@ -170,15 +170,14 @@ def distributed_msm(spec: FieldSpec, points, scalars, mesh: Mesh, axis: str,
 
     def body(xb, yb, infb, sb):
         digits = M._window_digits(sb, c)
-        wsums = M._msm_windows(spec, (xb, yb, infb), digits, c)  # tuple [W, L]
+        wsums = M._msm_jobs(spec, (xb, yb, infb), digits, c, 8)  # tuple [L, W]
         gathered = tuple(
             jax.lax.all_gather(t, axis, axis=0, tiled=False) for t in wsums)
-        # reduce over the device axis (d is small and static); EC ops want
-        # limb-major [L, W]
-        acc = tuple(t[0].T for t in gathered)
+        # reduce over the device axis (d is small and static)
+        acc = tuple(t[0] for t in gathered)
         for i in range(1, d):
-            acc = E.jac_add(spec, acc, tuple(t[i].T for t in gathered))
-        return tuple(t.T for t in acc)   # back to [W, L]
+            acc = E.jac_add(spec, acc, tuple(t[i] for t in gathered))
+        return acc  # [L, W]
 
     fn = shard_map(
         body, mesh=mesh,
@@ -188,4 +187,5 @@ def distributed_msm(spec: FieldSpec, points, scalars, mesh: Mesh, axis: str,
     )
     x, y, inf = points
     wsums = jax.jit(fn)(x, y, inf, scalars)
-    return M._combine_windows(spec, wsums, c)
+    res = M._combine_windows(spec, tuple(t[:, None, :] for t in wsums), c)
+    return tuple(t[:, 0] for t in res)

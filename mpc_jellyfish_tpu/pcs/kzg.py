@@ -165,23 +165,35 @@ def universal_setup_for_testing(curve: CurveSpec, max_degree: int, seed: int = 0
 # commit / open / verify
 # ---------------------------------------------------------------------------
 
-def commit(ck: CommitKey, coeffs_mont: jnp.ndarray) -> AffinePoint:
-    """Commit to a polynomial given Montgomery-form coefficients [L, n].
+def commit_batch(ck: CommitKey, polys: list) -> list:
+    """Commit to k polynomials with ONE batched MSM and ONE device->host
+    transfer (the per-transfer latency through the device link dominates
+    small commits; see prover round structure).
 
-    One variable-base MSM (reference univariate_kzg/mod.rs:108-112).
+    Polys may have different lengths; they share the SRS bases.
     """
     fq, fr = ck.curve.fq, ck.curve.fr
-    n = coeffs_mont.shape[1]
-    if n > ck.powers_of_g[0].shape[1]:
+    nmax = max(c.shape[1] for c in polys)
+    if nmax > ck.powers_of_g[0].shape[1]:
         raise ValueError("poly degree exceeds commit key")
-    scalars = F.from_mont(fr, coeffs_mont)
-    bases = tuple(t[..., :n] for t in ck.powers_of_g)
-    res = M.msm(fq, bases, scalars)
-    return E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
+    padded = []
+    for c in polys:
+        if c.shape[1] < nmax:
+            c = jnp.concatenate(
+                [c, F.zeros(fr, (nmax - c.shape[1],))], axis=1)
+        padded.append(F.from_mont(fr, c))
+    bases = tuple(t[..., :nmax] for t in ck.powers_of_g)
+    res = M.msm_batch(fq, bases, padded)                  # jac [L, k]
+    return E.affine_from_device(fq, E.jac_to_affine(fq, res))
+
+
+def commit(ck: CommitKey, coeffs_mont: jnp.ndarray) -> AffinePoint:
+    """Commit to one polynomial (reference univariate_kzg/mod.rs:108-112)."""
+    return commit_batch(ck, [coeffs_mont])[0]
 
 
 def batch_commit(ck: CommitKey, polys: list) -> list:
-    return [commit(ck, c) for c in polys]
+    return commit_batch(ck, polys)
 
 
 def open_at(ck: CommitKey, coeffs_mont: jnp.ndarray, z: int):

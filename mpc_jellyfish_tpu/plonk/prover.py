@@ -1,14 +1,21 @@
 """Plonk IOP prover - device compute path.
 
 Mirror of `plonk/src/proof_system/prover.rs` re-designed for TPU dataflow:
-every round is a jitted JAX program over limb tensors; only commitments,
-challenges and evaluations cross the host boundary (for the Fiat-Shamir
-transcript).
+every round is (a chain of) jitted JAX programs over limb tensors; only
+commitments, challenges and evaluations cross the host boundary (for the
+Fiat-Shamir transcript).
 
-Hot path (SURVEY.md §3.1): round 1 = W iNTTs + W MSMs; round 2 = grand
-product (batched Fermat inverse + log-depth cumprod) + iNTT + MSM; round 3 =
-~25 coset NTTs on the 8n quotient domain + pointwise constraint evaluation +
-coset iNTT + W MSMs; round 5 = two linear-division openings + MSMs.
+Transfer discipline: device dispatches are asynchronous and effectively
+free, but every *synchronous* host<->device crossing pays the full link
+latency.  Each round therefore does exactly one host->device upload of its
+scalars (challenges, mask coefficients, power tables) and one device->host
+download (the round's commitments / evaluations, via `kzg.commit_batch`).
+
+Hot path (SURVEY.md §3.1): round 1 = W iNTTs + one batched-W MSM; round 2 =
+grand product (batched Fermat inverse + log-depth cumprod) + iNTT + MSM;
+round 3 = ~25 coset NTTs on the 8n quotient domain + pointwise constraint
+evaluation + coset iNTT + one batched-W MSM; round 5 = two linear-division
+openings + one batched MSM.
 
 Per-domain constants (1/(n(x-1)) etc. on the coset) are cached on the Prover
 - they are proof-independent (computed once with a batched inverse).
@@ -17,7 +24,6 @@ Per-domain constants (1/(n(x-1)) etc. on the coset) are cached on the Prover
 from __future__ import annotations
 
 import functools
-import random
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +39,13 @@ GATE_WIDTH = 4
 
 
 def _const(spec: FieldSpec, x: int):
-    """Host int -> [L, 1] Montgomery device constant."""
+    """Host int -> [L, 1] Montgomery device constant (one small upload)."""
     return spec.to_device([x])
+
+
+def upload(spec: FieldSpec, ints: list):
+    """Host ints -> [L, k] Montgomery device tensor (single upload)."""
+    return spec.to_device(list(ints))
 
 
 class Prover:
@@ -52,7 +63,6 @@ class Prover:
         self.quot_domain = N.Domain(spec, m)
         self.coset = N.CosetTable(self.quot_domain)    # shift by field generator
         self.size_ratio = m // domain_size
-        self._cached = {}
 
     # -- cached per-domain coset constants ------------------------------
     @functools.cached_property
@@ -93,37 +103,51 @@ class Prover:
         return F.mul(spec, F.inv(spec, diff), coeff)
 
     # -- helpers ---------------------------------------------------------
-    def _mask_poly(self, coeffs, hiding_bound: int, rng, mask: bool, out_len: int):
-        """poly + Z_H * rand(deg=hiding_bound), padded to out_len
-        (reference prover.rs:463-486)."""
+    def _mask_polys(self, coeffs_list, hiding_bound: int, rng, mask: bool,
+                    out_len: int, mask_dev=None):
+        """Mask k polynomials: poly_i + Z_H * rand_i(deg=hiding_bound), padded
+        to out_len, with a single host->device upload for all mask coeffs
+        (reference prover.rs:463-486).  `mask_dev` [L, k, hiding_bound+1] may
+        be pre-uploaded (fused with the round's other constants)."""
         spec = self.spec
-        L, cur = coeffs.shape
-        if cur < out_len:
-            coeffs = jnp.concatenate([coeffs, F.zeros(spec, (out_len - cur,))], axis=1)
+        padded = []
+        for coeffs in coeffs_list:
+            cur = coeffs.shape[1]
+            if cur < out_len:
+                coeffs = jnp.concatenate(
+                    [coeffs, F.zeros(spec, (out_len - cur,))], axis=1)
+            padded.append(coeffs)
         if not mask:
-            return coeffs
-        mask_coeffs = [rng.randrange(spec.p) for _ in range(hiding_bound + 1)]
-        masked = P.mul_by_vanishing(spec, spec.to_device(mask_coeffs), self.n)
-        return P.add_padded(spec, coeffs, masked)[:, :out_len]
+            return padded
+        k = len(coeffs_list)
+        b = hiding_bound + 1
+        if mask_dev is None:
+            flat = [rng.randrange(spec.p) for _ in range(k * b)]
+            mask_dev = upload(spec, flat).reshape(spec.num_limbs, k, b)
+        out = []
+        for i, coeffs in enumerate(padded):
+            masked = P.mul_by_vanishing(spec, mask_dev[:, i], self.n)
+            out.append(P.add_padded(spec, coeffs, masked)[:, :out_len])
+        return out
 
     def coset_fft(self, coeffs):
         """Pad to m and evaluate on the coset of the quotient domain."""
         spec = self.spec
-        L, cur = coeffs.shape
+        cur = coeffs.shape[1]
         if cur < self.m:
             coeffs = jnp.concatenate([coeffs, F.zeros(spec, (self.m - cur,))], axis=1)
         return N.coset_ntt(self.quot_domain, coeffs, self.coset)
 
     # -- round 1 ----------------------------------------------------------
     def run_1st_round(self, ck, wire_values, rng, mask: bool):
-        """wire_values: list of [L, n] eval tensors.  Returns (comms, polys)."""
+        """wire_values: [L, W, n] eval tensor (one upload for all wires).
+        Returns (comms, polys)."""
         out_len = self.n + 3
-        polys, comms = [], []
-        for wv in wire_values:
-            coeffs = N.intt(self.domain, wv)
-            coeffs = self._mask_poly(coeffs, 1, rng, mask, out_len)
-            polys.append(coeffs)
-            comms.append(kzg.commit(ck, coeffs))
+        W = wire_values.shape[1]
+        batched = N.intt(self.domain, wire_values)         # [L, W, n]
+        polys = [batched[:, i] for i in range(W)]
+        polys = self._mask_polys(polys, 1, rng, mask, out_len)
+        comms = kzg.commit_batch(ck, polys)
         return comms, polys
 
     def pub_input_poly(self, pi_values):
@@ -132,13 +156,14 @@ class Prover:
     # -- round 2: permutation grand product -------------------------------
     def run_2nd_round(self, ck, wire_values, id_evals, sigma_evals, beta, gamma,
                       rng, mask: bool):
-        """Grand product z(X) (reference constraint_system.rs:1197-1223).
-
-        wire_values/id_evals/sigma_evals: lists of [L, n] eval tensors.
-        """
+        """Grand product z(X) (reference constraint_system.rs:1197-1223)."""
         spec = self.spec
-        beta_d = _const(spec, beta)
-        gamma_d = _const(spec, gamma)
+        # one upload: beta, gamma, and the 3 hiding coefficients
+        mask_coeffs = [rng.randrange(spec.p) for _ in range(3)]
+        bg = upload(spec, [beta, gamma] + mask_coeffs)
+        beta_d = bg[:, :1]
+        gamma_d = bg[:, 1:2]
+        mask_dev = bg[:, 2:5].reshape(spec.num_limbs, 1, 3)
         num = F.ones(spec, (self.n,))
         den = F.ones(spec, (self.n,))
         for w, idp, sg in zip(wire_values, id_evals, sigma_evals):
@@ -147,32 +172,101 @@ class Prover:
             den = F.mul(spec, den, F.add(spec, t, F.mul(spec, beta_d, sg)))
         ratio = F.mul(spec, num, F.inv(spec, den))
         prod = F.cumprod(spec, ratio, axis=1)
-        # z = [1, prod_0, prod_0*r_1, ...] (exclusive shift)
         z_evals = jnp.concatenate([F.ones(spec, (1,)), prod[:, :self.n - 1]], axis=1)
         coeffs = N.intt(self.domain, z_evals)
-        coeffs = self._mask_poly(coeffs, 2, rng, mask, self.n + 3)
-        comm = kzg.commit(ck, coeffs)
+        coeffs = self._mask_polys([coeffs], 2, rng, mask, self.n + 3,
+                                  mask_dev=mask_dev)[0]
+        comm = kzg.commit_batch(ck, [coeffs])[0]
+        return comm, coeffs
+
+    # -- rounds 1.5 / 2.5: Plookup ----------------------------------------
+    def run_plookup_1st_round(self, ck, sorted_vec_host, rng, mask: bool):
+        """Commit the sorted-vector halves h1, h2 (prover.rs:98-118).
+
+        Returns (comms, [h1, h2] coeff polys, sorted_vec device tensor)."""
+        spec = self.spec
+        n = self.n
+        sorted_dev = upload(spec, sorted_vec_host)          # [L, 2n-1]
+        h1 = N.intt(self.domain, sorted_dev[:, :n])
+        h2 = N.intt(self.domain, sorted_dev[:, n - 1:])
+        polys = self._mask_polys([h1, h2], 2, rng, mask, n + 3)
+        comms = kzg.commit_batch(ck, polys)
+        return comms, polys, sorted_dev
+
+    def run_plookup_2nd_round(self, ck, challenges: Challenges,
+                              merged_table_host, sorted_dev, lookup_wire_host,
+                              rng, mask: bool):
+        """Plookup grand product (constraint_system.rs:1311-1368)."""
+        spec = self.spec
+        p = spec.p
+        n = self.n
+        beta, gamma = challenges.beta, challenges.gamma
+        consts = upload(spec, [(1 + beta) % p, gamma * (1 + beta) % p, beta])
+        beta_plus_one = consts[:, 0:1]
+        gb1 = consts[:, 1:2]
+        beta_d = consts[:, 2:3]
+        gamma_d = upload(spec, [gamma])
+
+        t = upload(spec, merged_table_host)                 # [L, n]
+        lw = upload(spec, lookup_wire_host)                 # [L, n]
+        s = sorted_dev                                      # [L, 2n-1]
+
+        lw_j = lw[:, :n - 2]
+        t_j = t[:, :n - 2]
+        t_j1 = t[:, 1:n - 1]
+        h1_j = s[:, :n - 2]
+        h1_j1 = s[:, 1:n - 1]
+        h2_j = s[:, n - 1:2 * n - 3]
+        h2_j1 = s[:, n:2 * n - 2]
+
+        a = F.mul(spec, beta_plus_one, F.add(spec, gamma_d, lw_j))
+        a = F.mul(spec, a, F.add(spec, gb1,
+                                 F.add(spec, t_j, F.mul(spec, beta_d, t_j1))))
+        b = F.mul(spec,
+                  F.add(spec, gb1, F.add(spec, h1_j, F.mul(spec, beta_d, h1_j1))),
+                  F.add(spec, gb1, F.add(spec, h2_j, F.mul(spec, beta_d, h2_j1))))
+        ratio = F.mul(spec, a, F.inv(spec, b))
+        prod = F.cumprod(spec, ratio, axis=1)               # [L, n-2]
+        z = jnp.concatenate(
+            [F.ones(spec, (1,)), prod, F.ones(spec, (1,))], axis=1)  # [L, n]
+        coeffs = N.intt(self.domain, z)
+        coeffs = self._mask_polys([coeffs], 2, rng, mask, n + 3)[0]
+        comm = kzg.commit_batch(ck, [coeffs])[0]
         return comm, coeffs
 
     # -- round 3: quotient -------------------------------------------------
-    def compute_quotient_coset_evals(self, pk, challenges: Challenges, oracles: Oracles):
+    def compute_quotient_coset_evals(self, pk, challenges: Challenges,
+                                     oracles: Oracles, consts=None):
         """Coset evaluations of the (single-instance) quotient contribution
         (t1 * zh_inv + t2).  Mirror of prover.rs:512-675 minus the
         multi-instance alpha aggregation (done by the caller)."""
         spec = self.spec
-        m = self.m
         W = self.num_wire_types
+
+        lookup = pk.plookup_pk is not None
+        p = spec.p
+        ch = challenges
+        if consts is None:
+            extra = []
+            if lookup:
+                a3 = pow(ch.alpha, 3, p)
+                extra = [ch.tau, a3, a3 * ch.alpha % p,
+                         pow(ch.alpha, 5, p), pow(ch.alpha, 6, p),
+                         (1 + ch.beta) % p, ch.gamma * (1 + ch.beta) % p]
+            consts = upload(spec, [ch.alpha, ch.beta, ch.gamma,
+                                   ch.alpha * ch.alpha % p]
+                            + list(pk.vk.k) + extra)
+        alpha = consts[:, 0:1]
+        beta = consts[:, 1:2]
+        gamma = consts[:, 2:3]
+        alpha2 = consts[:, 3:4]
+        ks = [consts[:, 4 + j:5 + j] for j in range(W)]
 
         sel_fft = [self.coset_fft(s) for s in pk.selectors]
         sigma_fft = [self.coset_fft(s) for s in pk.sigmas]
         wire_fft = [self.coset_fft(w) for w in oracles.wire_polys]
         z_fft = self.coset_fft(oracles.prod_perm_poly)
         pi_fft = self.coset_fft(oracles.pub_inp_poly)
-
-        alpha = _const(spec, challenges.alpha)
-        beta = _const(spec, challenges.beta)
-        gamma = _const(spec, challenges.gamma)
-        alpha2 = _const(spec, challenges.alpha * challenges.alpha % spec.p)
 
         w = wire_fft
         # gate equation (prover.rs:684-709); selector order:
@@ -202,9 +296,8 @@ class Prover:
         term1 = F.mul(spec, alpha, z_fft)
         term2 = F.mul(spec, alpha, z_next)
         for j in range(W):
-            kj = _const(spec, pk.vk.k[j])
             a = F.add(spec, F.add(spec, w[j], gamma),
-                      F.mul(spec, F.mul(spec, beta, kj), x))
+                      F.mul(spec, F.mul(spec, beta, ks[j]), x))
             term1 = F.mul(spec, term1, a)
             b = F.add(spec, F.add(spec, w[j], gamma),
                       F.mul(spec, beta, sigma_fft[j]))
@@ -216,7 +309,84 @@ class Prover:
                          F.mul(spec, F.sub(spec, z_fft, one), self.inv_n_x_minus_1))
 
         t1 = F.add(spec, t_circ, t_perm_1)
-        quot = F.add(spec, F.mul(spec, t1, self.zh_inv_coset), t_perm_2)
+        t2 = t_perm_2
+
+        if lookup:
+            # Plookup contribution (prover.rs:773-887)
+            base = 4 + W
+            tau = consts[:, base:base + 1]
+            alpha3 = consts[:, base + 1:base + 2]
+            alpha4 = consts[:, base + 2:base + 3]
+            alpha5 = consts[:, base + 3:base + 4]
+            alpha6 = consts[:, base + 4:base + 5]
+            beta_plus_one = consts[:, base + 5:base + 6]
+            gb1 = consts[:, base + 6:base + 7]
+
+            ppk = pk.plookup_pk
+            range_fft = self.coset_fft(ppk.range_table_poly)
+            key_fft = self.coset_fft(ppk.key_table_poly)
+            tds_fft = self.coset_fft(ppk.table_dom_sep_poly)
+            qds_fft = self.coset_fft(ppk.q_dom_sep_poly)
+            q_lookup_fft = sel_fft[-1]
+            po = oracles.plookup_oracles
+            h1_fft = self.coset_fft(po.h_polys[0])
+            h2_fft = self.coset_fft(po.h_polys[1])
+            pl_fft = self.coset_fft(po.prod_lookup_poly)
+
+            r = self.size_ratio
+
+            def nxt(t):
+                return jnp.roll(t, -r, axis=1)
+
+            def merged_table(rg, ky, ql, w3, w4, td):
+                inner = F.add(spec, w3, F.mul(spec, tau, w4))
+                inner = F.add(spec, ky, F.mul(spec, tau, inner))
+                inner = F.add(spec, td, F.mul(spec, tau, inner))
+                return F.add(spec, rg, F.mul(spec, F.mul(spec, ql, tau), inner))
+
+            def merged_lookup(w5, w0, w1, w2, ql, qd):
+                inner = F.add(spec, w1, F.mul(spec, tau, w2))
+                inner = F.add(spec, w0, F.mul(spec, tau, inner))
+                inner = F.add(spec, qd, F.mul(spec, tau, inner))
+                return F.add(spec, w5, F.mul(spec, F.mul(spec, ql, tau), inner))
+
+            table_x = merged_table(range_fft, key_fft, q_lookup_fft,
+                                   w[3], w[4], tds_fft)
+            table_xw = merged_table(nxt(range_fft), nxt(key_fft),
+                                    nxt(q_lookup_fft), nxt(w[3]), nxt(w[4]),
+                                    nxt(tds_fft))
+            lookup_x = merged_lookup(w[5], w[0], w[1], w[2],
+                                     q_lookup_fft, qds_fft)
+
+            one = F.ones(spec, (1,))
+            # t2: Ln(x)*(h1 - h2(wx))*a^3 + L1(x)*(p-1)*a^4 + Ln(x)*(p-1)*a^5
+            term_h = F.mul(spec, F.sub(spec, h1_fft, nxt(h2_fft)),
+                           self.inv_n_x_minus_gn)
+            t2 = F.add(spec, t2, F.mul(spec, alpha3, term_h))
+            pm1 = F.sub(spec, pl_fft, one)
+            t2 = F.add(spec, t2, F.mul(spec, alpha4,
+                                       F.mul(spec, pm1, self.inv_n_x_minus_1)))
+            t2 = F.add(spec, t2, F.mul(spec, alpha5,
+                                       F.mul(spec, pm1, self.inv_n_x_minus_gn)))
+
+            # t1 += a^6 (x - w^{n-1}) [p(x)(1+b)(g+lookup)(g(1+b)+table+b*table_w)
+            #                          - p(wx)(g(1+b)+h1+b h1w)(g(1+b)+h2+b h2w)]
+            g_inv = pow(self.domain.w, -1, p)
+            x_minus_gn = F.sub(spec, self.coset_elements, _const(spec, g_inv))
+            lhs = F.mul(spec, pl_fft, beta_plus_one)
+            lhs = F.mul(spec, lhs, F.add(spec, gamma, lookup_x))
+            lhs = F.mul(spec, lhs, F.add(spec, gb1, F.add(
+                spec, table_x, F.mul(spec, beta, table_xw))))
+            rhs = F.mul(spec, nxt(pl_fft),
+                        F.add(spec, gb1, F.add(spec, h1_fft,
+                                               F.mul(spec, beta, nxt(h1_fft)))))
+            rhs = F.mul(spec, rhs,
+                        F.add(spec, gb1, F.add(spec, h2_fft,
+                                               F.mul(spec, beta, nxt(h2_fft)))))
+            term_p3 = F.mul(spec, x_minus_gn, F.sub(spec, lhs, rhs))
+            t1 = F.add(spec, t1, F.mul(spec, alpha6, term_p3))
+
+        quot = F.add(spec, F.mul(spec, t1, self.zh_inv_coset), t2)
         return quot
 
     def quotient_evals_to_split_polys(self, quot_evals, rng, mask: bool):
@@ -231,129 +401,251 @@ class Prover:
         for i in range(W):
             end = (i + 1) * chunk if i < W - 1 else expected_len
             piece = coeffs[:, i * chunk:end]
-            # pad to n+3 for stable shapes
             pad = n + 3 - piece.shape[1]
             if pad > 0:
                 piece = jnp.concatenate([piece, F.zeros(spec, (pad,))], axis=1)
             polys.append(piece)
         if mask:
-            # t_i(X) = t'_i(X) - b_{i-1} + b_i X^{n+2}
-            last = 0
+            # t_i(X) = t'_i(X) - b_{i-1} + b_i X^{n+2} ; single upload of b's
+            bs = [rng.randrange(spec.p) for _ in range(W - 1)]
+            bd = upload(spec, bs)                       # [L, W-1]
             for i in range(W - 1):
-                b = rng.randrange(spec.p)
-                polys[i] = polys[i].at[:, 0].set(
-                    F.sub(spec, polys[i][:, :1], _const(spec, last))[:, 0])
-                polys[i] = polys[i].at[:, n + 2].set(
-                    F.add(spec, polys[i][:, n + 2:n + 3], _const(spec, b))[:, 0])
-                last = b
-            polys[W - 1] = polys[W - 1].at[:, 0].set(
-                F.sub(spec, polys[W - 1][:, :1], _const(spec, last))[:, 0])
+                b = bd[:, i:i + 1]
+                polys[i] = polys[i].at[:, :1].set(
+                    F.sub(spec, polys[i][:, :1],
+                          bd[:, i - 1:i] if i > 0 else F.zeros(spec, (1,))))
+                polys[i] = polys[i].at[:, n + 2:n + 3].set(
+                    F.add(spec, polys[i][:, n + 2:n + 3], b))
+            polys[W - 1] = polys[W - 1].at[:, :1].set(
+                F.sub(spec, polys[W - 1][:, :1], bd[:, W - 2:W - 1]))
         return polys
 
     def run_3rd_round(self, ck, quot_evals_sum, rng, mask: bool):
         polys = self.quotient_evals_to_split_polys(quot_evals_sum, rng, mask)
-        comms = [kzg.commit(ck, c) for c in polys]
+        comms = kzg.commit_batch(ck, polys)
         return comms, polys
 
     # -- round 4: evaluations ---------------------------------------------
     def compute_evaluations(self, pk, challenges: Challenges, oracles: Oracles):
-        """Evaluate wires at zeta, sigmas (all but last) at zeta, z at zeta*w
+        """Evaluate wires at zeta, sigmas (all but last) at zeta, z at zeta*w,
+        in two batched eval calls and ONE device->host transfer
         (prover.rs:216-235)."""
         spec = self.spec
-        zeta = _const(spec, challenges.zeta)[:, 0]
-        zeta_w = _const(spec, challenges.zeta * self.domain.w % spec.p)[:, 0]
-        wires_evals = [spec.from_device(P.eval_at(spec, c, zeta).reshape(spec.num_limbs, 1))[0]
-                       for c in oracles.wire_polys]
-        sigma_evals = [spec.from_device(P.eval_at(spec, c, zeta).reshape(spec.num_limbs, 1))[0]
-                       for c in pk.sigmas[:self.num_wire_types - 1]]
-        perm_next = spec.from_device(
-            P.eval_at(spec, oracles.prod_perm_poly, zeta_w).reshape(spec.num_limbs, 1))[0]
-        return ProofEvaluations(wires_evals, sigma_evals, perm_next)
+        W = self.num_wire_types
+        n3 = self.n + 3
+        pts = upload(spec, [challenges.zeta,
+                            challenges.zeta * self.domain.w % spec.p])
+        zeta = pts[:, 0]
+        zeta_w = pts[:, 1]
+
+        def pad(c):
+            k = n3 - c.shape[1]
+            return c if k == 0 else jnp.concatenate(
+                [c, F.zeros(spec, (k,))], axis=1)
+
+        group = jnp.stack([pad(c) for c in oracles.wire_polys]
+                          + [pad(c) for c in pk.sigmas[:W - 1]], axis=1)
+        evs = P.eval_at(spec, group, zeta)                  # [L, 2W-1]
+        ev_next = P.eval_at(spec, pad(oracles.prod_perm_poly), zeta_w)
+        allv = jnp.concatenate([evs, ev_next.reshape(spec.num_limbs, 1)], axis=1)
+        host = spec.from_device(allv)                       # ONE transfer
+        return ProofEvaluations(
+            wires_evals=host[:W],
+            wire_sigma_evals=host[W:2 * W - 1],
+            perm_next_eval=host[2 * W - 1],
+        )
+
+    def compute_plookup_evaluations(self, pk, challenges: Challenges,
+                                    oracles: Oracles):
+        """Round 4.5: evaluations of Plookup polys at zeta / zeta*w
+        (prover.rs:239-299).  One batched eval + one transfer."""
+        from .structs import PlookupEvaluations
+        spec = self.spec
+        n3 = self.n + 3
+        ppk = pk.plookup_pk
+        po = oracles.plookup_oracles
+        pts = upload(spec, [challenges.zeta,
+                            challenges.zeta * self.domain.w % spec.p])
+
+        def pad(c):
+            k = n3 - c.shape[1]
+            return c if k == 0 else jnp.concatenate(
+                [c, F.zeros(spec, (k,))], axis=1)
+
+        at_z = [ppk.range_table_poly, ppk.key_table_poly, po.h_polys[0],
+                pk.q_lookup_poly(), ppk.table_dom_sep_poly, ppk.q_dom_sep_poly]
+        at_zw = [po.prod_lookup_poly, ppk.range_table_poly, ppk.key_table_poly,
+                 po.h_polys[0], po.h_polys[1], pk.q_lookup_poly(),
+                 oracles.wire_polys[3], oracles.wire_polys[4],
+                 ppk.table_dom_sep_poly]
+        g1 = jnp.stack([pad(c) for c in at_z], axis=1)
+        g2 = jnp.stack([pad(c) for c in at_zw], axis=1)
+        e1 = P.eval_at(spec, g1, pts[:, 0])
+        e2 = P.eval_at(spec, g2, pts[:, 1])
+        host = spec.from_device(jnp.concatenate([e1, e2], axis=1))
+        return PlookupEvaluations(
+            range_table_eval=host[0], key_table_eval=host[1], h_1_eval=host[2],
+            q_lookup_eval=host[3], table_dom_sep_eval=host[4],
+            q_dom_sep_eval=host[5],
+            prod_next_eval=host[6], range_table_next_eval=host[7],
+            key_table_next_eval=host[8], h_1_next_eval=host[9],
+            h_2_next_eval=host[10], q_lookup_next_eval=host[11],
+            w_3_next_eval=host[12], w_4_next_eval=host[13],
+            table_dom_sep_next_eval=host[14],
+        )
 
     # -- linearization poly ------------------------------------------------
-    def compute_quotient_component_for_lin_poly(self, zeta: int, quot_polys):
-        """-Z_H(zeta) * sum zeta^{i(n+2)} t_i(X)  (prover.rs:343-358)."""
+    def compute_lin_poly(self, alpha_bases, pks, challenges: Challenges,
+                         oracles_list, poly_evals_list, split_quot_polys,
+                         plookup_evals_list=None):
+        """Full linearization polynomial: quotient component + per-instance
+        circuit/copy (+ Plookup) components, as ONE stacked scale-and-sum
+        (prover.rs:302-358, 962-1112)."""
         spec = self.spec
         p = spec.p
-        vanish = (pow(zeta, self.n, p) - 1) % p
-        z_np2 = pow(zeta, self.n + 2, p)
-        acc = None
-        coeff = (p - vanish) % p
-        for i, poly in enumerate(quot_polys):
-            c = _const(spec, coeff)
-            term = F.mul(spec, poly, c)
-            acc = term if acc is None else P.add_padded(spec, acc, term)
-            coeff = coeff * z_np2 % p
-        return acc
-
-    def compute_non_quotient_component_for_lin_poly(
-            self, alpha_base: int, pk, challenges: Challenges, oracles: Oracles,
-            evals: ProofEvaluations):
-        """r_circ + r_perm, scaled by alpha_base (prover.rs:302-337,962-1034)."""
-        spec = self.spec
-        p = spec.p
-        w = evals.wires_evals
+        n = self.n
         ch = challenges
+        n3 = n + 3
 
-        # r_circ scalar coefficients for the 13 selector polys
-        coeffs = [w[0], w[1], w[2], w[3],
-                  w[0] * w[1] % p, w[2] * w[3] % p,
-                  pow(w[0], 5, p), pow(w[1], 5, p), pow(w[2], 5, p), pow(w[3], 5, p),
-                  (p - w[4]) % p, 1,
-                  w[0] * w[1] % p * w[2] % p * w[3] % p * w[4] % p]
-        acc = None
-        for c, poly in zip(coeffs, pk.selectors):
-            term = F.mul(spec, poly, _const(spec, c * alpha_base % p))
-            acc = term if acc is None else P.add_padded(spec, acc, term)
+        polys = []
+        coeffs = []
 
-        # r_perm: coeff_z * z(X) - coeff_sigma * sigma_last(X)
-        vanish = (pow(ch.zeta, self.n, p) - 1) % p
-        lagrange_1 = vanish * pow(self.n * (ch.zeta - 1) % p, -1, p) % p
-        coeff_z = ch.alpha
-        for j in range(self.num_wire_types):
-            coeff_z = coeff_z * (w[j] + ch.beta * pk.vk.k[j] % p * ch.zeta + ch.gamma) % p
-        coeff_z = (coeff_z + ch.alpha * ch.alpha % p * lagrange_1) % p
-        term = F.mul(spec, oracles.prod_perm_poly,
-                     _const(spec, coeff_z * alpha_base % p))
-        acc = P.add_padded(spec, acc, term)
+        # quotient component: -Z_H(zeta) * sum zeta^{i(n+2)} t_i(X)
+        vanish = (pow(ch.zeta, n, p) - 1) % p
+        z_np2 = pow(ch.zeta, n + 2, p)
+        coeff = (p - vanish) % p
+        for i, poly in enumerate(split_quot_polys):
+            polys.append(poly)
+            coeffs.append(coeff)
+            coeff = coeff * z_np2 % p
 
-        coeff_s = ch.alpha * ch.beta % p * evals.perm_next_eval % p
-        for j in range(self.num_wire_types - 1):
-            coeff_s = coeff_s * (w[j] + ch.beta * evals.wire_sigma_evals[j] + ch.gamma) % p
-        coeff_s = (p - coeff_s * alpha_base) % p
-        term = F.mul(spec, pk.sigmas[self.num_wire_types - 1], _const(spec, coeff_s))
-        acc = P.add_padded(spec, acc, term)
-        return acc
+        for i, (alpha_base, pk, oracles, evals) in enumerate(zip(
+                alpha_bases, pks, oracles_list, poly_evals_list)):
+            w = evals.wires_evals
+            sel_coeffs = [w[0], w[1], w[2], w[3],
+                          w[0] * w[1] % p, w[2] * w[3] % p,
+                          pow(w[0], 5, p), pow(w[1], 5, p),
+                          pow(w[2], 5, p), pow(w[3], 5, p),
+                          (p - w[4]) % p, 1,
+                          w[0] * w[1] % p * w[2] % p * w[3] % p * w[4] % p]
+            for c, poly in zip(sel_coeffs, pk.selectors):
+                polys.append(poly)
+                coeffs.append(c * alpha_base % p)
+
+            lagrange_1 = vanish * pow(n * (ch.zeta - 1) % p, -1, p) % p
+            coeff_z = ch.alpha
+            for j in range(self.num_wire_types):
+                coeff_z = coeff_z * (w[j] + ch.beta * pk.vk.k[j] % p * ch.zeta
+                                     + ch.gamma) % p
+            coeff_z = (coeff_z + ch.alpha * ch.alpha % p * lagrange_1) % p
+            polys.append(oracles.prod_perm_poly)
+            coeffs.append(coeff_z * alpha_base % p)
+
+            coeff_s = ch.alpha * ch.beta % p * evals.perm_next_eval % p
+            for j in range(self.num_wire_types - 1):
+                coeff_s = coeff_s * (w[j] + ch.beta * evals.wire_sigma_evals[j]
+                                     + ch.gamma) % p
+            polys.append(pk.sigmas[self.num_wire_types - 1])
+            coeffs.append((p - coeff_s * alpha_base) % p)
+
+            # Plookup contribution (prover.rs:1037-1112)
+            if plookup_evals_list is not None and plookup_evals_list[i] is not None:
+                pe = plookup_evals_list[i]
+                oracles_i = oracles_list[i]
+                from .structs import eval_merged_lookup_witness, eval_merged_table
+                a2 = ch.alpha * ch.alpha % p
+                a4 = a2 * a2 % p
+                a5 = a4 * ch.alpha % p
+                a6 = a4 * a2 % p
+                g_inv = pow(self.domain.w, -1, p)
+                l1 = vanish * pow(n * (ch.zeta - 1) % p, -1, p) % p
+                ln = vanish * g_inv % p * pow(n * (ch.zeta - g_inv) % p, -1, p) % p
+                mt = eval_merged_table(p, ch.tau, pe.range_table_eval,
+                                       pe.key_table_eval, pe.q_lookup_eval,
+                                       w[3], w[4], pe.table_dom_sep_eval)
+                mt_w = eval_merged_table(p, ch.tau, pe.range_table_next_eval,
+                                         pe.key_table_next_eval,
+                                         pe.q_lookup_next_eval,
+                                         pe.w_3_next_eval, pe.w_4_next_eval,
+                                         pe.table_dom_sep_next_eval)
+                ml = eval_merged_lookup_witness(p, ch.tau, w[5], w[0], w[1],
+                                                w[2], pe.q_lookup_eval,
+                                                pe.q_dom_sep_eval)
+                b1 = (1 + ch.beta) % p
+                zg = (ch.zeta - g_inv) % p
+                coeff = (a4 * l1 + a5 * ln
+                         + a6 * zg % p * b1 % p
+                         * (ch.gamma + ml) % p
+                         * (ch.gamma * b1 + mt + ch.beta * mt_w)) % p
+                polys.append(oracles_i.plookup_oracles.prod_lookup_poly)
+                coeffs.append(coeff * alpha_base % p)
+                coeff = (p - a6 * zg % p * pe.prod_next_eval % p
+                         * (ch.gamma * b1 + pe.h_1_eval
+                            + ch.beta * pe.h_1_next_eval) % p * alpha_base) % p
+                polys.append(oracles_i.plookup_oracles.h_polys[1])
+                coeffs.append(coeff)
+
+        return self._scale_sum(polys, coeffs, n3)
+
+    def _scale_sum(self, polys, coeffs_host, out_len):
+        """sum_i coeffs[i] * polys[i] with one upload + one stacked kernel."""
+        spec = self.spec
+
+        def pad(c):
+            k = out_len - c.shape[1]
+            return c if k == 0 else jnp.concatenate(
+                [c, F.zeros(spec, (k,))], axis=1)
+
+        stacked = jnp.stack([pad(c) for c in polys], axis=1)  # [L, k, len]
+        cd = upload(spec, coeffs_host)[:, :, None]            # [L, k, 1]
+        return F.sum_reduce(spec, F.mul(spec, stacked, cd), axis=1)
 
     # -- round 5: opening proofs ------------------------------------------
     def compute_opening_proofs(self, ck, pks, zeta: int, v: int, oracles_list,
                                lin_poly):
-        """Batched witness polynomial commitments (prover.rs:362-419)."""
+        """Batched witness polynomial commitments (prover.rs:362-419):
+        both openings in one batched MSM / one transfer."""
         spec = self.spec
         p = spec.p
+        n3 = self.n + 3
 
-        # polys opened at zeta: [lin_poly, wires..., sigmas[:-1]...] per instance
         polys = [lin_poly]
         for pk, oracles in zip(pks, oracles_list):
             polys += list(oracles.wire_polys)
             polys += list(pk.sigmas[:-1])
-        batch = None
-        coeff = 1
-        for poly in polys:
-            term = F.mul(spec, poly, _const(spec, coeff))
-            batch = term if batch is None else P.add_padded(spec, batch, term)
-            coeff = coeff * v % p
-        q, _ = P.divide_by_linear(spec, batch, _const(spec, zeta)[:, 0])
-        opening = kzg.commit(ck, q)
+            if pk.plookup_pk is not None and oracles.plookup_oracles is not None:
+                ppk = pk.plookup_pk
+                polys += [ppk.range_table_poly, ppk.key_table_poly,
+                          oracles.plookup_oracles.h_polys[0],
+                          pk.q_lookup_poly(), ppk.table_dom_sep_poly,
+                          ppk.q_dom_sep_poly]
+        vpow = []
+        cur = 1
+        for _ in polys:
+            vpow.append(cur)
+            cur = cur * v % p
+        batch = self._scale_sum(polys, vpow, n3)
 
-        # polys opened at zeta*w: prod_perm per instance
-        batch = None
-        coeff = 1
+        polys2 = []
         for pk, oracles in zip(pks, oracles_list):
-            term = F.mul(spec, oracles.prod_perm_poly, _const(spec, coeff))
-            batch = term if batch is None else P.add_padded(spec, batch, term)
-            coeff = coeff * v % p
-        zeta_w = zeta * self.domain.w % p
-        q2, _ = P.divide_by_linear(spec, batch, _const(spec, zeta_w)[:, 0])
-        shifted = kzg.commit(ck, q2)
-        return opening, shifted
+            polys2.append(oracles.prod_perm_poly)
+            if pk.plookup_pk is not None and oracles.plookup_oracles is not None:
+                ppk = pk.plookup_pk
+                polys2 += [oracles.plookup_oracles.prod_lookup_poly,
+                           ppk.range_table_poly, ppk.key_table_poly,
+                           oracles.plookup_oracles.h_polys[0],
+                           oracles.plookup_oracles.h_polys[1],
+                           pk.q_lookup_poly(), oracles.wire_polys[3],
+                           oracles.wire_polys[4], ppk.table_dom_sep_poly]
+        vpow2 = []
+        cur = 1
+        for _ in polys2:
+            vpow2.append(cur)
+            cur = cur * v % p
+        batch2 = self._scale_sum(polys2, vpow2, n3)
+
+        pts = upload(spec, [zeta, zeta * self.domain.w % p])
+        q1, _ = P.divide_by_linear(spec, batch, pts[:, 0])
+        q2, _ = P.divide_by_linear(spec, batch2, pts[:, 1])
+        comms = kzg.commit_batch(ck, [q1, q2])
+        return comms[0], comms[1]

@@ -65,8 +65,27 @@ class PlonkKzgSnark:
             sigma_evals_dev.append(evals)
             sigma_polys.append(N.intt(domain, evals))
 
-        selector_comms = [kzg.commit(ck, c) for c in selector_polys]
-        sigma_comms = [kzg.commit(ck, c) for c in sigma_polys]
+        all_comms = kzg.commit_batch(ck, selector_polys + sigma_polys)
+        selector_comms = all_comms[:len(selector_polys)]
+        sigma_comms = all_comms[len(selector_polys):]
+
+        plookup_pk = None
+        plookup_vk = None
+        if circuit.support_lookup():
+            from .structs import PlookupProvingKey, PlookupVerifyingKey
+            tbl_polys = [
+                N.intt(domain, spec.to_device(circuit.range_table_vector())),
+                N.intt(domain, spec.to_device(circuit.key_table_vector())),
+                N.intt(domain, spec.to_device(circuit.table_dom_sep_vector())),
+                N.intt(domain, spec.to_device(circuit.q_dom_sep_vector())),
+            ]
+            tbl_comms = kzg.commit_batch(ck, tbl_polys)
+            plookup_pk = PlookupProvingKey(
+                range_table_poly=tbl_polys[0], key_table_poly=tbl_polys[1],
+                table_dom_sep_poly=tbl_polys[2], q_dom_sep_poly=tbl_polys[3])
+            plookup_vk = PlookupVerifyingKey(
+                range_table_comm=tbl_comms[0], key_table_comm=tbl_comms[1],
+                table_dom_sep_comm=tbl_comms[2], q_dom_sep_comm=tbl_comms[3])
 
         vk = VerifyingKey(
             domain_size=n,
@@ -75,11 +94,11 @@ class PlonkKzgSnark:
             sigma_comms=sigma_comms,
             k=list(circuit.k),
             open_key=open_key,
-            plookup_vk=None,
+            plookup_vk=plookup_vk,
             is_merged=False,
         )
         pk = ProvingKey(sigmas=sigma_polys, selectors=selector_polys,
-                        commit_key=ck, vk=vk, plookup_pk=None)
+                        commit_key=ck, vk=vk, plookup_pk=plookup_pk)
         # device-side eval-domain data for the grand product (round 2)
         pk.sigma_evals = sigma_evals_dev
         id_host = circuit.extended_id_permutation
@@ -161,18 +180,46 @@ class PlonkKzgSnark:
         wires_poly_comms_vec = []
         wire_values_list = []
         for i, c in enumerate(circuits):
-            wire_values = [spec.to_device(col) for col in c.wire_values()]
+            # one upload for all wire columns + the public-input vector;
+            # cached on the circuit for repeated proving of the same witness
+            cache = getattr(c, "_device_cache", None)
+            if cache is None:
+                W = c.num_wire_types
+                cols = c.wire_values()
+                flat = [v for col in cols for v in col] + c.pub_input_vector()
+                all_dev = spec.to_device(flat)
+                wv = all_dev[:, :W * n].reshape(spec.num_limbs, W, n)
+                pi = all_dev[:, W * n:]
+                cache = (wv, pi)
+                c._device_cache = cache
+            wv, pi = cache
+            wire_values = [wv[:, j] for j in range(c.num_wire_types)]
             wire_values_list.append(wire_values)
-            comms, polys = prover.run_1st_round(pks[i].commit_key, wire_values,
-                                               rng, mask)
+            comms, polys = prover.run_1st_round(pks[i].commit_key, wv, rng, mask)
             oracles_list[i].wire_polys = polys
-            oracles_list[i].pub_inp_poly = prover.pub_input_poly(
-                spec.to_device(c.pub_input_vector()))
+            oracles_list[i].pub_inp_poly = prover.pub_input_poly(pi)
             transcript.append_commitments(b"witness_poly_comms", comms)
             wires_poly_comms_vec.append(comms)
 
-        # Round 1.5 (Plookup; TurboPlonk still squeezes tau, snark.rs:293)
+        # Round 1.5: Plookup sorted vectors (snark.rs:291-316)
         challenges.tau = transcript.get_and_append_challenge(b"tau")
+        h_poly_comms_vec = [None] * len(circuits)
+        merged_table_list = [None] * len(circuits)
+        sorted_dev_list = [None] * len(circuits)
+        lookup_wire_list = [None] * len(circuits)
+        for i, c in enumerate(circuits):
+            if c.support_lookup():
+                from .structs import PlookupOracles
+                merged_table = c.merged_lookup_table(challenges.tau)
+                sorted_vec = c.lookup_sorted_vec(challenges.tau, merged_table)
+                comms, h_polys, sorted_dev = prover.run_plookup_1st_round(
+                    pks[i].commit_key, sorted_vec, rng, mask)
+                oracles_list[i].plookup_oracles = PlookupOracles(h_polys=h_polys)
+                transcript.append_commitments(b"h_poly_comms", comms)
+                h_poly_comms_vec[i] = comms
+                merged_table_list[i] = merged_table
+                sorted_dev_list[i] = sorted_dev
+                lookup_wire_list[i] = c.merged_lookup_wire_values(challenges.tau)
 
         # Round 2
         challenges.beta = transcript.get_and_append_challenge(b"beta")
@@ -186,12 +233,26 @@ class PlonkKzgSnark:
             transcript.append_commitment(b"perm_poly_comms", comm)
             prod_perm_poly_comms_vec.append(comm)
 
+        # Round 2.5: Plookup grand product (snark.rs:335-356)
+        prod_lookup_poly_comms_vec = [None] * len(circuits)
+        for i, c in enumerate(circuits):
+            if c.support_lookup():
+                comm, poly = prover.run_plookup_2nd_round(
+                    pks[i].commit_key, challenges, merged_table_list[i],
+                    sorted_dev_list[i], lookup_wire_list[i], rng, mask)
+                oracles_list[i].plookup_oracles.prod_lookup_poly = poly
+                transcript.append_commitment(b"plookup_poly_comms", comm)
+                prod_lookup_poly_comms_vec[i] = comm
+
         # Round 3
         challenges.alpha = transcript.get_and_append_challenge(b"alpha")
         alpha3 = pow(challenges.alpha, 3, p)
+        alpha7 = pow(challenges.alpha, 7, p)
         quot_sum = None
         alpha_base = 1
-        for i in range(len(circuits)):
+        alpha_bases = []
+        for i, c in enumerate(circuits):
+            alpha_bases.append(alpha_base)
             quot = prover.compute_quotient_coset_evals(pks[i], challenges,
                                                        oracles_list[i])
             if quot_sum is None:
@@ -199,7 +260,7 @@ class PlonkKzgSnark:
             else:
                 quot_sum = F.add(spec, quot_sum,
                                  F.mul(spec, quot, _const(spec, alpha_base)))
-            alpha_base = alpha_base * alpha3 % p
+            alpha_base = alpha_base * (alpha7 if c.support_lookup() else alpha3) % p
         split_quot_poly_comms, split_quot_polys = prover.run_3rd_round(
             pks[0].commit_key, quot_sum, rng, mask)
         transcript.append_commitments(b"quot_poly_comms", split_quot_poly_comms)
@@ -212,15 +273,18 @@ class PlonkKzgSnark:
             transcript.append_proof_evaluations(evals)
             poly_evals_vec.append(evals)
 
-        lin_poly = prover.compute_quotient_component_for_lin_poly(
-            challenges.zeta, split_quot_polys)
-        alpha_base = 1
-        for i in range(len(circuits)):
-            comp = prover.compute_non_quotient_component_for_lin_poly(
-                alpha_base, pks[i], challenges, oracles_list[i], poly_evals_vec[i])
-            from ..ops import poly as POL
-            lin_poly = POL.add_padded(spec, lin_poly, comp)
-            alpha_base = alpha_base * alpha3 % p
+        # Round 4.5: Plookup evaluations
+        plookup_evals_vec = [None] * len(circuits)
+        for i, c in enumerate(circuits):
+            if c.support_lookup():
+                pevals = prover.compute_plookup_evaluations(
+                    pks[i], challenges, oracles_list[i])
+                transcript.append_plookup_evaluations(pevals)
+                plookup_evals_vec[i] = pevals
+
+        lin_poly = prover.compute_lin_poly(
+            alpha_bases, pks, challenges, oracles_list, poly_evals_vec,
+            split_quot_polys, plookup_evals_vec)
 
         # Round 5
         challenges.v = transcript.get_and_append_challenge(b"v")
@@ -228,12 +292,24 @@ class PlonkKzgSnark:
             pks[0].commit_key, pks, challenges.zeta, challenges.v, oracles_list,
             lin_poly)
 
+        plookup_proofs_vec = []
+        for i, c in enumerate(circuits):
+            if c.support_lookup():
+                from .structs import PlookupProof
+                plookup_proofs_vec.append(PlookupProof(
+                    h_poly_comms=h_poly_comms_vec[i],
+                    prod_lookup_poly_comm=prod_lookup_poly_comms_vec[i],
+                    poly_evals=plookup_evals_vec[i],
+                ))
+            else:
+                plookup_proofs_vec.append(None)
+
         return (
             BatchProof(
                 wires_poly_comms_vec=wires_poly_comms_vec,
                 prod_perm_poly_comms_vec=prod_perm_poly_comms_vec,
                 poly_evals_vec=poly_evals_vec,
-                plookup_proofs_vec=[None] * len(circuits),
+                plookup_proofs_vec=plookup_proofs_vec,
                 split_quot_poly_comms=split_quot_poly_comms,
                 opening_proof=opening_proof,
                 shifted_opening_proof=shifted_opening_proof,

@@ -170,6 +170,13 @@ class LinkingHint:
 
 
 @dataclass
+class PlookupOracles:
+    """Online Plookup oracles (reference structs.rs `PlookupOracles`)."""
+    h_polys: list = field(default_factory=list)
+    prod_lookup_poly: object = None
+
+
+@dataclass
 class Oracles:
     """Online polynomial oracles (reference structs.rs `Oracles`)."""
     wire_polys: list = field(default_factory=list)

@@ -124,6 +124,12 @@ class PlonkCircuit:
         self.check_var(var)
         return self.witness[var]
 
+    def invalidate_device_cache(self):
+        """Drop cached device witness tensors (call after mutating
+        `self.witness` post-finalization)."""
+        if hasattr(self, "_device_cache"):
+            del self._device_cache
+
     def public_input(self) -> list:
         return [self.witness[self.wire_variables[GATE_WIDTH][g]]
                 for g in self.pub_input_gate_ids]
@@ -181,37 +187,134 @@ class PlonkCircuit:
         self.wire_variables[RANGE_WIRE_ID].append(var)
 
     def create_table_and_lookup_variables(self, lookup_vars, table_vars):
-        """key-value lookup: each lookup_var (key, v1, v2) must appear in
-        table_vars [(v1, v2)] at key position.  Mirror of
-        `gadgets/ultraplonk/lookup_table.rs:21`."""
+        """Create a key-value table [(i, v0_i, v1_i)] and a list of lookup
+        triples (key, val0, val1) to be checked against it.  One gate carries
+        BOTH a lookup triple (wires 0-2, q_dom_sep) and a table row (wires
+        3-4, table_key/table_dom_sep).  Mirror of
+        `gadgets/ultraplonk/lookup_table.rs:21-57`."""
         if not self.ultra_plonk:
             raise CircuitError("wrong plonk type")
+        for (k, v1, v2) in lookup_vars:
+            self.check_vars([k, v1, v2])
         for (v1, v2) in table_vars:
-            self.check_var(v1)
-            self.check_var(v2)
-        for (k, v1, v2) in lookup_vars:
-            self.check_var(k)
-            self.check_var(v1)
-            self.check_var(v2)
+            self.check_vars([v1, v2])
+        n = max(len(lookup_vars), len(table_vars))
         n_gate = self.num_gates()
-        table_ids = list(range(self.num_table_elems, self.num_table_elems + len(table_vars)))
-        self.table_gate_ids.append((n_gate, len(table_vars)))
-        self.num_table_elems += len(table_vars)
-        for i, (v1, v2) in enumerate(table_vars):
-            key = table_ids[i]
-            # table gate: carries table (dom_sep, key, val0, val1) on wires 3,4
-            self.insert_gate([0, 0, 0, v1, v2],
-                             G.LookupGate(self.p, q_dom_sep=0, table_dom_sep=0,
-                                          table_key=key))
-        n_lookup_gates = (len(lookup_vars) + 2) // 3
-        padded = list(lookup_vars) + [(0, 0, 0)] * (3 * n_lookup_gates - len(lookup_vars))
-        # wire layout per lookup gate: (key, v1, v2) in wires 0,1,2 ; second
-        # and third triples go through the lookup wire via extra gates - the
-        # reference packs ONE triple per gate in wires (0,1,2); we mirror that.
-        for (k, v1, v2) in lookup_vars:
-            self.insert_gate([k, v1, v2, 0, 0],
-                             G.LookupGate(self.p, q_dom_sep=0, table_dom_sep=0, table_key=0))
-        return None
+        self.table_gate_ids.append((n_gate, n))
+        table_ctr = len(self.table_gate_ids)     # unique per-table dom-sep
+        for i in range(n):
+            if i < len(lookup_vars):
+                q_dom_sep, key, val0, val1 = table_ctr, *lookup_vars[i]
+            else:
+                q_dom_sep, key, val0, val1 = 0, 0, 0, 0
+            if i < len(table_vars):
+                table_dom_sep, table_key = table_ctr, i
+                tv0, tv1 = table_vars[i]
+            else:
+                table_dom_sep, table_key, tv0, tv1 = 0, 0, 0, 0
+            self.insert_gate(
+                [key, val0, val1, tv0, tv1],
+                G.LookupGate(self.p, q_dom_sep=q_dom_sep,
+                             table_dom_sep=table_dom_sep, table_key=table_key))
+        self.num_table_elems += n
+
+    # -- range gadgets (reference gadgets/range.rs, ultraplonk/range.rs) --
+    def enforce_in_range(self, a, bit_len: int):
+        """Constrain a in [0, 2^bit_len) (range.rs:19-26)."""
+        if self.support_lookup():
+            self.range_gate_with_lookup(a, bit_len)
+        else:
+            self.range_gate_internal(a, bit_len)
+
+    def is_in_range(self, a, bit_len: int) -> BoolVar:
+        """Boolean: a in [0, 2^bit_len)?  (range.rs:31-38)."""
+        bits = self.unpack(a, self.p.bit_length())
+        high = self.sum([int(b) for b in bits[bit_len:]])
+        return self.is_zero(high)
+
+    def unpack(self, a, bit_len: int):
+        """bit_len-long little-endian bit decomposition (range.rs:44-53)."""
+        if bit_len < self.p.bit_length() and self.witness_of(a) >= (1 << bit_len):
+            raise CircuitError("unpack: witness exceeds 2^bit_len")
+        return self.range_gate_internal(a, bit_len)
+
+    def range_gate_internal(self, a, bit_len: int):
+        """Binary-decomposition range gate (range.rs:98-130)."""
+        self.check_var(a)
+        if bit_len == 0:
+            raise CircuitError("bit_len must be positive")
+        wa = self.witness_of(a)
+        bits = [(wa >> i) & 1 for i in range(bit_len)]
+        bit_vars = [self.create_boolean_variable(b) for b in bits]
+        self.decomposition_gate([int(b) for b in bit_vars], a, 2)
+        return bit_vars
+
+    def decomposition_gate(self, a_chunks_le, a, range_size: int):
+        """a = sum range_size^i * chunk_i via chained lc gates
+        (range.rs:60-93)."""
+        padded = list(a_chunks_le)
+        rate = GATE_WIDTH - 1
+        padded_len = ((max(len(padded) - 1, 1) + rate - 1) // rate) * rate + 1
+        padded += [0] * (padded_len - len(padded))
+        rs2 = range_size * range_size % self.p
+        rs3 = rs2 * range_size % self.p
+        coeffs = [rs3, rs2, range_size, 1]
+        accum = padded[padded_len - 1]
+        for i in range(1, padded_len // rate):
+            accum = self.lc(
+                [accum, padded[padded_len - 1 - rate * i + 2],
+                 padded[padded_len - 1 - rate * i + 1],
+                 padded[padded_len - 1 - rate * i]], coeffs)
+        self.lc_gate([accum, padded[2], padded[1], padded[0], a], coeffs)
+
+    def range_gate_with_lookup(self, a, bit_len: int):
+        """Lookup-backed range check: decompose into range_bit_len chunks on
+        the lookup wire (ultraplonk/range.rs:22-56)."""
+        range_bit_len = self.range_bit_len()
+        range_size = self.range_size()
+        if bit_len == 0:
+            raise CircuitError("bit_len cannot be zero")
+        self.check_var(a)
+        leftover = bit_len % range_bit_len
+        lookup_len = bit_len // range_bit_len
+        length = lookup_len + (1 if leftover else 0)
+        wa = self.witness_of(a)
+        reprs = [(wa >> (i * range_bit_len)) & (range_size - 1)
+                 for i in range(length)]
+        repr_vars = [self.create_variable(v) for v in reprs]
+        for var in repr_vars[:lookup_len]:
+            self.add_range_check_variable(var)
+        if leftover:
+            self.range_gate_internal(repr_vars[lookup_len], leftover)
+        self.decomposition_gate(repr_vars, a, range_size)
+
+    def is_zero(self, a) -> BoolVar:
+        """Boolean: a == 0 (gadgets/logic.rs:16-53)."""
+        self.check_var(a)
+        wa = self.witness_of(a)
+        b_val = 1 if wa == 0 else 0
+        a_inv = 0 if wa == 0 else pow(wa, -1, self.p)
+        b = self.create_variable(b_val)
+        inv_var = self.create_variable(a_inv)
+        # 1 - a * a_inv = b
+        self.insert_gate([a, inv_var, 0, 0, b],
+                         G.QuadPolyGate((0, 0, 0, 0), (self.p - 1, 0), 1, 1))
+        # a * b = 0
+        self.insert_gate([a, b, 0, 0, 0], G.MultiplicationGate())
+        return BoolVar(b)
+
+    def non_zero_gate(self, a):
+        """Constrain a != 0 (logic.rs): a * a_inv = 1."""
+        wa = self.witness_of(a)
+        if wa == 0:
+            inv_var = self.create_variable(0)
+        else:
+            inv_var = self.create_variable(pow(wa, -1, self.p))
+        self.insert_gate([a, inv_var, 0, 0, self.one()], G.MultiplicationGate())
+
+    def is_equal(self, a, b) -> BoolVar:
+        """Boolean: a == b (gadgets/logic.rs)."""
+        return self.is_zero(self.sub(a, b))
 
     # -- core gadgets (Circuit trait default methods) -------------------
     def enforce_constant(self, var: int, constant: int):
@@ -624,3 +727,61 @@ class PlonkCircuit:
 
     def q_lookup_vector(self) -> list:
         return [g.q_lookup for g in self.gates]
+
+    # -- Plookup per-proof vectors (host; reference constraint_system.rs
+    #    :1290-1417 and structs.rs eval_merged_*) ------------------------
+    def merged_lookup_table(self, tau: int) -> list:
+        """t_i = range_i + q_lookup_i * tau * (dom + tau(key + tau(w3 + tau w4)))."""
+        p = self.p
+        n = self.eval_domain_size()
+        rt = self.range_table_vector()
+        out = []
+        for i in range(n):
+            g = self.gates[i]
+            if g.q_lookup:
+                w3 = self.witness[self._wire_variable(TABLE_VAL_1_WIRE_ID, i)]
+                w4 = self.witness[self._wire_variable(TABLE_VAL_2_WIRE_ID, i)]
+                v = (rt[i] + g.q_lookup * tau
+                     * (g.table_dom_sep + tau * (g.table_key + tau * (w3 + tau * w4)))) % p
+            else:
+                v = rt[i] % p
+            out.append(v)
+        return out
+
+    def merged_lookup_wire_values(self, tau: int) -> list:
+        """lw_i = w5_i + q_lookup_i * tau * (q_dom + tau(w0 + tau(w1 + tau w2)))."""
+        p = self.p
+        n = self.eval_domain_size()
+        out = []
+        for i in range(n):
+            g = self.gates[i]
+            w5 = self.witness[self._wire_variable(RANGE_WIRE_ID, i)]
+            if g.q_lookup:
+                w0 = self.witness[self._wire_variable(LOOKUP_KEY_WIRE_ID, i)]
+                w1 = self.witness[self._wire_variable(LOOKUP_VAL_1_WIRE_ID, i)]
+                w2 = self.witness[self._wire_variable(LOOKUP_VAL_2_WIRE_ID, i)]
+                v = (w5 + g.q_lookup * tau
+                     * (g.q_dom_sep + tau * (w0 + tau * (w1 + tau * w2)))) % p
+            else:
+                v = w5 % p
+            out.append(v)
+        return out
+
+    def lookup_sorted_vec(self, tau: int, merged_table: list) -> list:
+        """Sorted concatenation of lookups and table, ordered by the table
+        (reference constraint_system.rs:1370-1417).  Length 2n-1."""
+        n = self.eval_domain_size()
+        lookups = self.merged_lookup_wire_values(tau)[:n - 1]
+        counts = {}
+        for v in lookups:
+            counts[v] = counts.get(v, 0) + 1
+        sorted_vec = []
+        for t in merged_table:
+            if t in counts:
+                sorted_vec.extend([t] * (1 + counts.pop(t)))
+            else:
+                sorted_vec.append(t)
+        if len(sorted_vec) != 2 * n - 1:
+            raise CircuitError(
+                "lookup variable outside the table (sorted vector length mismatch)")
+        return sorted_vec

@@ -78,3 +78,42 @@ def test_msm_vs_host(n):
     got = E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
     want = H.ec_msm(fq.p, pts, ss)
     assert got == want
+
+
+@pytest.mark.parametrize("n,c,lanes", [(64, 4, 8), (100, 8, 16), (256, 8, 4)])
+def test_msm_chunked_vs_host(n, c, lanes):
+    """Chunked O(n) accumulation vs host oracle, incl. boundary-heavy cases."""
+    pts = rand_points(n)
+    ss = [rng.randrange(fr.p) for _ in range(n)]
+    # force long segments spanning many lanes: big blocks of equal scalars
+    for i in range(n // 2):
+        ss[i] = ss[0]
+    pd = E.affine_to_device(fq, pts)
+    sd = scalars_to_device(ss)
+    res = M.msm(fq, pd, sd, c=c, lanes=lanes)
+    got = E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
+    want = H.ec_msm(fq.p, pts, ss)
+    assert got == want
+
+
+def test_msm_batch_vs_host():
+    n = 40
+    pts = rand_points(n)
+    pd = E.affine_to_device(fq, pts)
+    sss = [[rng.randrange(fr.p) for _ in range(n)] for _ in range(3)]
+    sds = [scalars_to_device(ss) for ss in sss]
+    res = M.msm_batch(fq, pd, sds, c=8, lanes=8)
+    got = E.affine_from_device(fq, E.jac_to_affine(fq, res))
+    for i, ss in enumerate(sss):
+        assert got[i] == H.ec_msm(fq.p, pts, ss)
+
+
+def test_msm_cross_limb_windows():
+    n = 24
+    pts = rand_points(n)
+    ss = [rng.randrange(fr.p) for _ in range(n)]
+    pd = E.affine_to_device(fq, pts)
+    sd = scalars_to_device(ss)
+    res = M.msm(fq, pd, sd, c=13, lanes=8)
+    got = E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
+    assert got == H.ec_msm(fq.p, pts, ss)
