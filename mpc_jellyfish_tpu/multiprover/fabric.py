@@ -1,0 +1,228 @@
+"""MPC fabric: 2-party additive secret sharing with SPDZ-style MACs.
+
+TPU-native equivalent of the `ark-mpc` surface the reference consumes
+(SURVEY.md §2.7/§2.9): `MpcFabric`, `AuthenticatedScalarResult` batch ops
+(add/mul/div/fft), `open_authenticated`, Beaver triples, shared randomness.
+
+Design: shares are limb tensors with a PARTY axis - an authenticated batch
+is ``share[L, P, *batch]`` plus ``mac[L, P, *batch]`` (mac = alpha * value,
+alpha itself additively shared).  The *mock* fabric executes both parties in
+one process (the reference tests do the same via
+`ark_mpc::test_helpers::execute_mock_mpc`, SURVEY.md §4): "network" openings
+are sums over the party axis.  A cross-process fabric maps the same ops onto
+`jax.distributed` collectives (psum over a party mesh axis) - the API below
+is written against the party axis only, so the transport swap is local.
+
+Linear ops are share-local; each multiplication consumes a Beaver triple and
+one opening round; division uses the classic masked-inversion trick
+(1 triple + 1 open).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as F
+from ..ops.field import FieldSpec
+
+N_PARTIES = 2
+
+
+@dataclass
+class Shared:
+    """An authenticated secret-shared batch: value = sum_p share[:, p]."""
+    share: jnp.ndarray           # [L, P, *batch]
+    mac: jnp.ndarray             # [L, P, *batch]
+
+    @property
+    def batch_shape(self):
+        return self.share.shape[2:]
+
+
+class MockFabric:
+    """Both parties in one process; openings are party-axis sums.
+
+    Mirrors the `MpcFabric` allocator API (constants, shared randomness,
+    share/open, beaver products) plus telemetry counters (ark-mpc `stats`
+    feature): `n_openings`, `n_triples`.
+    """
+
+    def __init__(self, spec: FieldSpec, seed: int = 0):
+        self.spec = spec
+        import random
+        self._rng = random.Random(seed)
+        p = spec.p
+        # shared MAC key alpha
+        a0 = self._rng.randrange(p)
+        a1 = self._rng.randrange(p)
+        self.alpha = (a0 + a1) % p
+        self._alpha_shares = spec.to_device([a0, a1])      # [L, 2]
+        self.n_openings = 0
+        self.n_triples = 0
+
+    # -- allocation -------------------------------------------------------
+    def _share_of_values(self, values: list) -> Shared:
+        """Split host values into random additive shares (dealer model)."""
+        p = self.spec.p
+        s0 = [self._rng.randrange(p) for _ in values]
+        s1 = [(v - a) % p for v, a in zip(values, s0)]
+        m = [v * self.alpha % p for v in values]
+        m0 = [self._rng.randrange(p) for _ in values]
+        m1 = [(v - a) % p for v, a in zip(m, m0)]
+        share = self.spec.to_device(s0 + s1).reshape(
+            self.spec.num_limbs, 2, len(values))
+        mac = self.spec.to_device(m0 + m1).reshape(
+            self.spec.num_limbs, 2, len(values))
+        return Shared(share=share, mac=mac)
+
+    def share_scalars(self, values: list) -> Shared:
+        return self._share_of_values([v % self.spec.p for v in values])
+
+    def zeros_authenticated(self, n: int) -> Shared:
+        return self._share_of_values([0] * n)
+
+    def one_authenticated(self) -> Shared:
+        return self._share_of_values([1])
+
+    def random_shared_scalars(self, n: int) -> Shared:
+        return self._share_of_values(
+            [self._rng.randrange(self.spec.p) for _ in range(n)])
+
+    def public(self, values: list) -> jnp.ndarray:
+        """Public constants as a plain [L, k] tensor."""
+        return self.spec.to_device(list(values))
+
+    # -- linear ops (share-local) -----------------------------------------
+    def add(self, a: Shared, b: Shared) -> Shared:
+        return Shared(F.add(self.spec, a.share, b.share),
+                      F.add(self.spec, a.mac, b.mac))
+
+    def sub(self, a: Shared, b: Shared) -> Shared:
+        return Shared(F.sub(self.spec, a.share, b.share),
+                      F.sub(self.spec, a.mac, b.mac))
+
+    def neg(self, a: Shared) -> Shared:
+        return Shared(F.neg(self.spec, a.share), F.neg(self.spec, a.mac))
+
+    def mul_public(self, a: Shared, c: jnp.ndarray) -> Shared:
+        """c public [L, *batch-compatible]."""
+        cb = c[:, None] if c.ndim == a.share.ndim - 1 else c
+        return Shared(F.mul(self.spec, a.share, cb),
+                      F.mul(self.spec, a.mac, cb))
+
+    def add_public(self, a: Shared, c: jnp.ndarray) -> Shared:
+        """Only party 0 adds the public value to its share; macs add alpha*c."""
+        spec = self.spec
+        nb = len(a.batch_shape)
+        if c.ndim == 1 + nb:
+            cb = c[:, None]                           # [L, 1, *batch]
+        else:
+            cb = c
+        full = (spec.num_limbs, 1) + a.batch_shape
+        bump = jnp.concatenate([
+            jnp.broadcast_to(cb, full),
+            jnp.zeros(full, dtype=cb.dtype),
+        ], axis=1)
+        alpha_r = self._alpha_shares.reshape(
+            (spec.num_limbs, 2) + (1,) * nb)
+        mac_bump = F.mul(spec, alpha_r, cb)
+        return Shared(F.add(spec, a.share, bump),
+                      F.add(spec, a.mac, mac_bump))
+
+    # -- openings ----------------------------------------------------------
+    def open(self, a: Shared, check: bool = True) -> jnp.ndarray:
+        """Open to a public [L, *batch] tensor (party-axis sum) + MAC check."""
+        spec = self.spec
+        self.n_openings += 1
+        value = F.sum_reduce(spec, a.share, axis=1)
+        if check:
+            # SPDZ check: sum_p mac_p - alpha * value == 0
+            mac = F.sum_reduce(spec, a.mac, axis=1)
+            alpha = F.sum_reduce(spec, self._alpha_shares.reshape(
+                spec.num_limbs, 2, 1), axis=1)
+            alpha_r = alpha.reshape(
+                (spec.num_limbs,) + (1,) * (value.ndim - 1))
+            diff = F.sub(spec, mac, F.mul(spec, value, alpha_r))
+            if not bool(jnp.all(F.is_zero(spec, diff))):
+                raise ValueError("MAC check failed on opening")
+        return value
+
+    def open_to_ints(self, a: Shared, check: bool = True) -> list:
+        return self.spec.from_device(self.open(a, check))
+
+    # -- multiplication (Beaver) -------------------------------------------
+    def _beaver_triples(self, batch_shape) -> tuple:
+        """Mock triple source: dealer-generated (a, b, c=a*b) shares."""
+        import math
+        n = int(math.prod(batch_shape)) if batch_shape else 1
+        p = self.spec.p
+        av = [self._rng.randrange(p) for _ in range(n)]
+        bv = [self._rng.randrange(p) for _ in range(n)]
+        cv = [x * y % p for x, y in zip(av, bv)]
+        self.n_triples += n
+        return (
+            self._share_of_values(av),
+            self._share_of_values(bv),
+            self._share_of_values(cv),
+        )
+
+    def mul(self, x: Shared, y: Shared) -> Shared:
+        """Beaver multiplication: z = c + d*b + e*a + d*e,
+        d = open(x - a), e = open(y - b)."""
+        spec = self.spec
+        shape = x.batch_shape
+        a, b, c = self._beaver_triples(shape)
+        a = Shared(a.share.reshape(x.share.shape), a.mac.reshape(x.share.shape))
+        b = Shared(b.share.reshape(x.share.shape), b.mac.reshape(x.share.shape))
+        c = Shared(c.share.reshape(x.share.shape), c.mac.reshape(x.share.shape))
+        d = self.open(self.sub(x, a), check=False)
+        e = self.open(self.sub(y, b), check=False)
+        z = self.add(c, self.mul_public(b, d))
+        z = self.add(z, self.mul_public(a, e))
+        de = F.mul(spec, d, e)
+        return self.add_public(z, de)
+
+    def inv(self, x: Shared) -> Shared:
+        """Masked inversion: r shared random, w = open(x*r), x^-1 = r * w^-1."""
+        import math
+        n = int(math.prod(x.batch_shape)) if x.batch_shape else 1
+        r = self.random_shared_scalars(n)
+        r = Shared(r.share.reshape(x.share.shape), r.mac.reshape(x.share.shape))
+        w = self.open(self.mul(x, r), check=False)
+        w_inv = F.inv(self.spec, w)
+        return self.mul_public(r, w_inv)
+
+    def div(self, x: Shared, y: Shared) -> Shared:
+        return self.mul(x, self.inv(y))
+
+    # -- share-local linear transforms --------------------------------------
+    def map_local(self, fn, a: Shared) -> Shared:
+        """Apply a LINEAR [L, *batch] -> [L, *batch'] function to each party's
+        share (and mac).  Used for NTT/iNTT/poly padding - linearity makes
+        these network-free (SURVEY.md §3.4)."""
+        return Shared(
+            jnp.stack([fn(a.share[:, p]) for p in range(N_PARTIES)], axis=1),
+            jnp.stack([fn(a.mac[:, p]) for p in range(N_PARTIES)], axis=1),
+        )
+
+    def cumprod(self, a: Shared, axis: int = 1) -> Shared:
+        """Grand-product style cumulative product over shares.
+
+        log2(n) rounds of batched Beaver muls (the reference's ark-mpc
+        evaluates the same recursion through its lazy graph)."""
+        n = a.share.shape[2]
+        shift = 1
+        out = a
+        while shift < n:
+            rolled = Shared(jnp.roll(out.share, shift, axis=2),
+                            jnp.roll(out.mac, shift, axis=2))
+            prod = self.mul(out, rolled)
+            mask = (jnp.arange(n) >= shift)[None, None, :]
+            out = Shared(jnp.where(mask, prod.share, out.share),
+                         jnp.where(mask, prod.mac, out.mac))
+            shift *= 2
+        return out

@@ -1,0 +1,372 @@
+"""Collaborative (MPC) TurboPlonk prover.
+
+Mirror of `plonk/src/multiprover/proof_system/` (SURVEY.md §2.5, §3.4):
+the witness is additively secret-shared between 2 parties; every linear
+operation (iNTT, coset FFT, polynomial division by a public linear factor,
+linearization with public coefficients) is share-local; witness products in
+the grand-product and quotient rounds consume Beaver triples; commitments
+are per-party MSMs whose point shares are opened before transcript
+absorption (`MultiproverKZG::commit`, multiprover_kzg.rs:126-142).
+
+TurboPlonk only, as in the reference (snark.rs:104-106: no Plookup in MPC).
+The produced proof is verified by the standard single-prover verifier -
+that equivalence is the correctness oracle (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import field as F
+from ..ops import ntt as N
+from ..ops import poly as P
+from ..ops import msm as M
+from ..ops import ec as E
+from ..pcs import kzg
+from ..plonk.prover import Prover, upload
+from ..plonk.structs import Challenges, ProofEvaluations
+from .fabric import MockFabric, Shared, N_PARTIES
+
+GATE_WIDTH = 4
+
+
+class MpcProver:
+    """Drives the shared-witness rounds on top of the plaintext `Prover`
+    (which supplies domains, cached coset constants and public-poly FFTs)."""
+
+    def __init__(self, fabric: MockFabric, spec, domain_size: int,
+                 num_wire_types: int):
+        self.fabric = fabric
+        self.spec = spec
+        self.base = Prover(spec, domain_size, num_wire_types)
+        self.n = domain_size
+        self.num_wire_types = num_wire_types
+
+    # -- shared-poly helpers ----------------------------------------------
+    def intt_shared(self, sh: Shared) -> Shared:
+        return self.fabric.map_local(lambda x: N.intt(self.base.domain, x), sh)
+
+    def coset_fft_shared(self, sh: Shared) -> Shared:
+        return self.fabric.map_local(self.base.coset_fft, sh)
+
+    def pad_shared(self, sh: Shared, out_len: int) -> Shared:
+        spec = self.spec
+
+        def pad(x):
+            k = out_len - x.shape[-1]
+            if k <= 0:
+                return x
+            return jnp.concatenate([x, F.zeros(spec, x.shape[1:-1] + (k,))],
+                                   axis=-1)
+        return self.fabric.map_local(pad, sh)
+
+    def mask_shared(self, sh: Shared, hiding_bound: int, out_len: int) -> Shared:
+        """Add Z_H * (shared random poly) - the mask is itself shared so
+        neither party learns it (prover.rs:463 masking, MPC flavor)."""
+        fab = self.fabric
+        spec = self.spec
+        sh = self.pad_shared(sh, out_len)
+        rand = fab.random_shared_scalars(hiding_bound + 1)
+
+        def expand(x):
+            return P.mul_by_vanishing(spec, x, self.n)[:, :out_len]
+
+        masked = fab.map_local(expand, rand)
+        # pad masked to out_len (mul_by_vanishing yields n+hiding+1 len)
+        masked = self.pad_shared(masked, out_len)
+        return fab.add(sh, masked)
+
+    def commit_shared(self, ck, sh: Shared):
+        """Authenticated MSM: per-party MSM over share scalars, point shares
+        opened into one commitment (multiprover_kzg.rs:126-142)."""
+        spec = self.spec
+        fq = ck.curve.fq
+        n = sh.share.shape[-1]
+        bases = tuple(t[..., :n] for t in ck.powers_of_g)
+        pts = []
+        for party in range(N_PARTIES):
+            scalars = F.from_mont(spec, sh.share[:, party])
+            pts.append(M.msm(fq, bases, scalars))
+        opened = E.jac_add(fq, pts[0], pts[1])
+        self.fabric.n_openings += 1
+        return E.affine_from_device(
+            fq, E.jac_to_affine(fq, tuple(t[:, None] for t in opened)))[0]
+
+    def eval_shared(self, sh: Shared, z_dev) -> Shared:
+        """Share-local polynomial evaluation at a public point."""
+        return self.fabric.map_local(
+            lambda x: P.eval_at(self.spec, x, z_dev).reshape(
+                self.spec.num_limbs, 1), sh)
+
+    # -- rounds ------------------------------------------------------------
+    def wire_polys_round(self, ck, wire_shares, mask: bool):
+        """Round 1: shared iNTT + shared masking + authenticated commits."""
+        out_len = self.n + 3
+        polys, comms = [], []
+        for w in wire_shares:
+            coeffs = self.intt_shared(w)
+            if mask:
+                coeffs = self.mask_shared(coeffs, 1, out_len)
+            else:
+                coeffs = self.pad_shared(coeffs, out_len)
+            polys.append(coeffs)
+            comms.append(self.commit_shared(ck, coeffs))
+        return comms, polys
+
+    def grand_product_round(self, ck, wire_shares, id_evals, sigma_evals,
+                            beta: int, gamma: int, mask: bool):
+        """Round 2 over shares (constraint_system.rs:881-930 MPC analog)."""
+        fab = self.fabric
+        spec = self.spec
+        bg = upload(spec, [beta, gamma])
+        beta_d, gamma_d = bg[:, :1], bg[:, 1:2]
+
+        num = None
+        den = None
+        for w, idp, sg in zip(wire_shares, id_evals, sigma_evals):
+            t = fab.add_public(w, gamma_d)
+            a = fab.add_public(t, F.mul(spec, beta_d, idp))
+            b = fab.add_public(t, F.mul(spec, beta_d, sg))
+            num = a if num is None else fab.mul(num, a)     # Beaver
+            den = b if den is None else fab.mul(den, b)
+        ratio = fab.mul(num, fab.inv(den))                  # masked inversion
+        prod = fab.cumprod(ratio)
+        one = fab.one_authenticated()
+        z_share = jnp.concatenate([one.share, prod.share[:, :, :self.n - 1]],
+                                  axis=2)
+        z_mac = jnp.concatenate([one.mac, prod.mac[:, :, :self.n - 1]], axis=2)
+        z = Shared(z_share, z_mac)
+        coeffs = self.intt_shared(z)
+        if mask:
+            coeffs = self.mask_shared(coeffs, 2, self.n + 3)
+        else:
+            coeffs = self.pad_shared(coeffs, self.n + 3)
+        comm = self.commit_shared(ck, coeffs)
+        return comm, coeffs
+
+    def quotient_round(self, ck, pk, challenges: Challenges, wire_polys,
+                       z_poly, pi_poly_pub, mask: bool, rng):
+        """Round 3: plaintext coset FFT of selectors/sigmas; SHARED coset FFT
+        of wires/z; batched Beaver products for the gate/copy terms
+        (multiprover prover.rs:330-419)."""
+        fab = self.fabric
+        spec = self.spec
+        base = self.base
+        p = spec.p
+        ch = challenges
+        W = self.num_wire_types
+
+        consts = upload(spec, [ch.alpha, ch.beta, ch.gamma,
+                               ch.alpha * ch.alpha % p] + list(pk.vk.k))
+        alpha = consts[:, 0:1]
+        beta = consts[:, 1:2]
+        gamma = consts[:, 2:3]
+        alpha2 = consts[:, 3:4]
+        ks = [consts[:, 4 + j:5 + j] for j in range(W)]
+
+        sel_fft = [base.coset_fft(s) for s in pk.selectors]
+        sigma_fft = [base.coset_fft(s) for s in pk.sigmas]
+        w_fft = [self.coset_fft_shared(wp) for wp in wire_polys]
+        z_fft = self.coset_fft_shared(z_poly)
+        pi_fft = base.coset_fft(pi_poly_pub)
+
+        q_lc = sel_fft[0:4]
+        q_mul = sel_fft[4:6]
+        q_hash = sel_fft[6:10]
+        q_o, q_c, q_ecc = sel_fft[10], sel_fft[11], sel_fft[12]
+
+        # gate equation over shares
+        t_circ = fab.mul_public(w_fft[0], q_lc[0])
+        for j in range(1, 4):
+            t_circ = fab.add(t_circ, fab.mul_public(w_fft[j], q_lc[j]))
+        w01 = fab.mul(w_fft[0], w_fft[1])                   # Beaver
+        w23 = fab.mul(w_fft[2], w_fft[3])
+        t_circ = fab.add(t_circ, fab.mul_public(w01, q_mul[0]))
+        t_circ = fab.add(t_circ, fab.mul_public(w23, q_mul[1]))
+        w0123 = fab.mul(w01, w23)
+        prod_w = fab.mul(w0123, w_fft[4])
+        t_circ = fab.add(t_circ, fab.mul_public(prod_w, q_ecc))
+        for j in range(4):
+            wj2 = fab.mul(w_fft[j], w_fft[j])
+            wj4 = fab.mul(wj2, wj2)
+            wj5 = fab.mul(wj4, w_fft[j])
+            t_circ = fab.add(t_circ, fab.mul_public(wj5, q_hash[j]))
+        t_circ = fab.sub(t_circ, fab.mul_public(w_fft[4], q_o))
+        t_circ = fab.add_public(t_circ, F.add(spec, q_c, pi_fft))
+
+        # copy constraints
+        x = base.coset_elements
+        z_next = fab.map_local(
+            lambda t: jnp.roll(t, -base.size_ratio, axis=-1), z_fft)
+        term1 = fab.mul_public(z_fft, alpha)
+        term2 = fab.mul_public(z_next, alpha)
+        for j in range(W):
+            aj = fab.add_public(w_fft[j], F.add(
+                spec, gamma, F.mul(spec, F.mul(spec, beta, ks[j]), x)))
+            bj = fab.add_public(w_fft[j], F.add(
+                spec, gamma, F.mul(spec, beta, sigma_fft[j])))
+            term1 = fab.mul(term1, aj)                      # Beaver
+            term2 = fab.mul(term2, bj)
+        t_perm_1 = fab.sub(term1, term2)
+
+        one = F.ones(spec, (1,))
+        zm1 = fab.add_public(z_fft, F.neg(spec, one))
+        t_perm_2 = fab.mul_public(
+            fab.mul_public(zm1, base.inv_n_x_minus_1), alpha2)
+
+        t1 = fab.add(t_circ, t_perm_1)
+        quot = fab.add(fab.mul_public(t1, base.zh_inv_coset), t_perm_2)
+
+        # shared coset iNTT + split + shared masking + commits
+        quot_coeffs = fab.map_local(
+            lambda t: N.coset_intt(base.quot_domain, t, base.coset), quot)
+        n = self.n
+        expected_len = W * (n + 1) + 3
+        chunk = n + 2
+        polys = []
+        for i in range(W):
+            end = (i + 1) * chunk if i < W - 1 else expected_len
+            piece = fab.map_local(lambda t, s=i * chunk, e=end: t[:, s:e],
+                                  quot_coeffs)
+            piece = self.pad_shared(piece, n + 3)
+            polys.append(piece)
+        if mask:
+            bs = fab.random_shared_scalars(W - 1)
+            for i in range(W - 1):
+                bi = Shared(bs.share[:, :, i:i + 1], bs.mac[:, :, i:i + 1])
+                prev = (Shared(bs.share[:, :, i - 1:i], bs.mac[:, :, i - 1:i])
+                        if i > 0 else None)
+                lo = polys[i]
+                delta_share = jnp.zeros_like(lo.share)
+                delta_mac = jnp.zeros_like(lo.mac)
+                delta_share = delta_share.at[:, :, n + 2:n + 3].set(bi.share)
+                delta_mac = delta_mac.at[:, :, n + 2:n + 3].set(bi.mac)
+                if prev is not None:
+                    delta_share = delta_share.at[:, :, 0:1].set(
+                        F.neg(spec, prev.share))
+                    delta_mac = delta_mac.at[:, :, 0:1].set(
+                        F.neg(spec, prev.mac))
+                polys[i] = Shared(F.add(spec, lo.share, delta_share),
+                                  F.add(spec, lo.mac, delta_mac))
+            last = Shared(bs.share[:, :, W - 2:W - 1], bs.mac[:, :, W - 2:W - 1])
+            lo = polys[W - 1]
+            polys[W - 1] = Shared(
+                lo.share.at[:, :, 0:1].set(
+                    F.sub(spec, lo.share[:, :, 0:1], last.share)),
+                lo.mac.at[:, :, 0:1].set(
+                    F.sub(spec, lo.mac[:, :, 0:1], last.mac)))
+        comms = [self.commit_shared(ck, c) for c in polys]
+        return comms, polys
+
+    def evaluations_round(self, pk, challenges: Challenges, wire_polys, z_poly):
+        """Round 4: share-local evals, opened for the transcript."""
+        fab = self.fabric
+        spec = self.spec
+        p = spec.p
+        pts = upload(spec, [challenges.zeta,
+                            challenges.zeta * self.base.domain.w % p])
+        zeta, zeta_w = pts[:, 0], pts[:, 1]
+        wires_evals = [
+            fab.open_to_ints(self.eval_shared(wp, zeta))[0]
+            for wp in wire_polys]
+        sigma_evals = [
+            spec.from_device(P.eval_at(spec, s, zeta).reshape(spec.num_limbs, 1))[0]
+            for s in pk.sigmas[:self.num_wire_types - 1]]
+        perm_next = fab.open_to_ints(self.eval_shared(z_poly, zeta_w))[0]
+        return ProofEvaluations(wires_evals, sigma_evals, perm_next)
+
+    def opening_round(self, ck, pk, challenges: Challenges, wire_polys, z_poly,
+                      split_quot_polys, poly_evals: ProofEvaluations):
+        """Round 5 + linearization: all coefficients are public (from opened
+        evals), so the linearization poly and witness-quotient divisions are
+        share-local; two authenticated MSMs finish the proof."""
+        fab = self.fabric
+        spec = self.spec
+        p = spec.p
+        ch = challenges
+        n = self.n
+        n3 = n + 3
+        W = self.num_wire_types
+
+        # public coefficients (same math as the plaintext prover)
+        vanish = (pow(ch.zeta, n, p) - 1) % p
+        z_np2 = pow(ch.zeta, n + 2, p)
+        w = poly_evals.wires_evals
+
+        quot_coeffs = []
+        coeff = (p - vanish) % p
+        for _ in split_quot_polys:
+            quot_coeffs.append(coeff)
+            coeff = coeff * z_np2 % p
+        sel_coeffs = [w[0], w[1], w[2], w[3], w[0] * w[1] % p, w[2] * w[3] % p,
+                      pow(w[0], 5, p), pow(w[1], 5, p), pow(w[2], 5, p),
+                      pow(w[3], 5, p), (p - w[4]) % p, 1,
+                      w[0] * w[1] % p * w[2] % p * w[3] % p * w[4] % p]
+        lagrange_1 = vanish * pow(n * (ch.zeta - 1) % p, -1, p) % p
+        coeff_z = ch.alpha
+        for j in range(W):
+            coeff_z = coeff_z * (w[j] + ch.beta * pk.vk.k[j] % p * ch.zeta
+                                 + ch.gamma) % p
+        coeff_z = (coeff_z + ch.alpha * ch.alpha % p * lagrange_1) % p
+        coeff_s = ch.alpha * ch.beta % p * poly_evals.perm_next_eval % p
+        for j in range(W - 1):
+            coeff_s = coeff_s * (w[j] + ch.beta * poly_evals.wire_sigma_evals[j]
+                                 + ch.gamma) % p
+
+        cd = upload(spec, quot_coeffs + sel_coeffs
+                    + [coeff_z, (p - coeff_s) % p])
+
+        # shared part: quotient polys + z poly (shared); public part:
+        # selectors + sigma_last (plaintext)
+        lin_shared = None
+        for i, poly in enumerate(split_quot_polys):
+            t = fab.mul_public(poly, cd[:, i:i + 1])
+            lin_shared = t if lin_shared is None else fab.add(lin_shared, t)
+        zc = fab.mul_public(self.pad_shared(z_poly, n3),
+                            cd[:, len(quot_coeffs) + 13:len(quot_coeffs) + 14])
+        lin_shared = fab.add(lin_shared, zc)
+        lin_pub = None
+        for i, poly in enumerate(pk.selectors):
+            t = F.mul(spec, poly, cd[:, len(quot_coeffs) + i:len(quot_coeffs) + i + 1])
+            lin_pub = t if lin_pub is None else P.add_padded(spec, lin_pub, t)
+        t = F.mul(spec, pk.sigmas[W - 1],
+                  cd[:, len(quot_coeffs) + 14:len(quot_coeffs) + 15])
+        lin_pub = P.add_padded(spec, lin_pub, t)
+        lin = fab.add_public(self.pad_shared(lin_shared, n3),
+                             jnp.concatenate(
+                                 [lin_pub,
+                                  F.zeros(spec, (n3 - lin_pub.shape[1],))],
+                                 axis=1))
+
+        # batched witness polys (public v-powers)
+        vpow = []
+        cur = 1
+        polys = [lin] + [self.pad_shared(wp, n3) for wp in wire_polys]
+        for s in pk.sigmas[:-1]:
+            pub = jnp.concatenate([s, F.zeros(spec, (n3 - s.shape[1],))], axis=1)
+            polys.append(("pub", pub))
+        for _ in polys:
+            vpow.append(cur)
+            cur = cur * ch.v % p
+        vd = upload(spec, vpow)
+        batch = None
+        for i, poly in enumerate(polys):
+            if isinstance(poly, tuple):
+                contrib_pub = F.mul(spec, poly[1], vd[:, i:i + 1])
+                batch = (fab.add_public(batch, contrib_pub)
+                         if batch is not None else None)
+                if batch is None:
+                    raise AssertionError("lin poly comes first")
+            else:
+                t = fab.mul_public(poly, vd[:, i:i + 1])
+                batch = t if batch is None else fab.add(batch, t)
+
+        pts = upload(spec, [ch.zeta, ch.zeta * self.base.domain.w % p])
+        q1 = fab.map_local(
+            lambda t: P.divide_by_linear(spec, t, pts[:, 0])[0], batch)
+        q2 = fab.map_local(
+            lambda t: P.divide_by_linear(spec, t, pts[:, 1])[0],
+            self.pad_shared(z_poly, n3))
+        opening = self.commit_shared(ck, q1)
+        shifted = self.commit_shared(ck, q2)
+        return opening, shifted

@@ -114,6 +114,12 @@ def _window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _window_digits_batch(scalars, c: int):
+    """[k, Lr, n] -> [k, W, n] (cached jit; avoids per-call vmap retraces)."""
+    return jax.vmap(lambda s: _window_digits(s, c))(scalars)
+
+
 def num_windows(spec_r_limbs: int, c: int) -> int:
     if c == 16:
         return spec_r_limbs
@@ -301,8 +307,7 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
     lanes = lanes_auto if lanes is None else lanes
     W = num_windows(Lr, c)
 
-    digits = jax.vmap(lambda s: _window_digits(s, c))(scalars)   # [k, W, n]
-    digits = digits.reshape(k * W, n)
+    digits = _window_digits_batch(scalars, c).reshape(k * W, n)
 
     outs = []
     for start in range(0, k * W, job_chunk):

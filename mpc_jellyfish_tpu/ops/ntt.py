@@ -189,6 +189,8 @@ def intt(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=0)
 def _coset_ntt_jit(domain: Domain, coeffs, pows, twiddles, bitrev):
+    if coeffs.ndim == 3:
+        pows = pows[:, None, :]
     scaled = F.mul(domain.spec, coeffs, pows)
     y = _dif(domain.spec, scaled, twiddles, domain.log_n)
     return jnp.take(y, bitrev, axis=-1)
@@ -196,6 +198,8 @@ def _coset_ntt_jit(domain: Domain, coeffs, pows, twiddles, bitrev):
 
 @functools.partial(jax.jit, static_argnums=0)
 def _coset_intt_jit(domain: Domain, evals, pows_inv, twiddles, bitrev):
+    if evals.ndim == 3:
+        pows_inv = pows_inv[:, None, :]
     y = _dif(domain.spec, evals, twiddles, domain.log_n)
     y = jnp.take(y, bitrev, axis=-1)
     y = F.mul_const(domain.spec, y, domain.n_inv)

@@ -262,11 +262,32 @@ class Prover:
         alpha2 = consts[:, 3:4]
         ks = [consts[:, 4 + j:5 + j] for j in range(W)]
 
-        sel_fft = [self.coset_fft(s) for s in pk.selectors]
-        sigma_fft = [self.coset_fft(s) for s in pk.sigmas]
-        wire_fft = [self.coset_fft(w) for w in oracles.wire_polys]
-        z_fft = self.coset_fft(oracles.prod_perm_poly)
-        pi_fft = self.coset_fft(oracles.pub_inp_poly)
+        # ONE batched coset NTT for all polynomials (selectors + sigmas +
+        # wires + z + pi [+ lookup tables/oracles]): a single scan over
+        # stages on [L, B, m] instead of ~25 separate transforms.
+        group = list(pk.selectors) + list(pk.sigmas) + list(oracles.wire_polys) \
+            + [oracles.prod_perm_poly, oracles.pub_inp_poly]
+        n_sel = len(pk.selectors)
+        if lookup:
+            po = oracles.plookup_oracles
+            group += [pk.plookup_pk.range_table_poly, pk.plookup_pk.key_table_poly,
+                      pk.plookup_pk.table_dom_sep_poly, pk.plookup_pk.q_dom_sep_poly,
+                      po.h_polys[0], po.h_polys[1], po.prod_lookup_poly]
+        stacked = jnp.stack([
+            jnp.concatenate([g, F.zeros(spec, (self.m - g.shape[1],))], axis=1)
+            if g.shape[1] < self.m else g for g in group], axis=1)
+        ffts = N.coset_ntt(self.quot_domain, stacked, self.coset)
+        sel_fft = [ffts[:, i] for i in range(n_sel)]
+        off = n_sel
+        sigma_fft = [ffts[:, off + i] for i in range(W)]
+        off += W
+        wire_fft = [ffts[:, off + i] for i in range(W)]
+        off += W
+        z_fft = ffts[:, off]
+        pi_fft = ffts[:, off + 1]
+        off += 2
+        if lookup:
+            lk_fft = [ffts[:, off + i] for i in range(7)]
 
         w = wire_fft
         # gate equation (prover.rs:684-709); selector order:
@@ -322,16 +343,8 @@ class Prover:
             beta_plus_one = consts[:, base + 5:base + 6]
             gb1 = consts[:, base + 6:base + 7]
 
-            ppk = pk.plookup_pk
-            range_fft = self.coset_fft(ppk.range_table_poly)
-            key_fft = self.coset_fft(ppk.key_table_poly)
-            tds_fft = self.coset_fft(ppk.table_dom_sep_poly)
-            qds_fft = self.coset_fft(ppk.q_dom_sep_poly)
+            range_fft, key_fft, tds_fft, qds_fft, h1_fft, h2_fft, pl_fft = lk_fft
             q_lookup_fft = sel_fft[-1]
-            po = oracles.plookup_oracles
-            h1_fft = self.coset_fft(po.h_polys[0])
-            h2_fft = self.coset_fft(po.h_polys[1])
-            pl_fft = self.coset_fft(po.prod_lookup_poly)
 
             r = self.size_ratio
 

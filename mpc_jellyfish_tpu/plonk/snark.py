@@ -8,7 +8,20 @@ order follow `batch_prove_internal` (snark.rs:201-469) exactly.
 
 from __future__ import annotations
 
+import os
 import random
+import sys
+import time
+
+_TRACE = os.environ.get("MPC_JELLYFISH_TPU_TRACE", "") == "1"
+
+
+def _tr(label, t0):
+    if _TRACE:
+        import jax
+        print(f"    [prove] {label}: {time.time() - t0:.2f}s",
+              file=sys.stderr, flush=True)
+    return time.time()
 
 from ..curves import CurveSpec
 from ..ops import field as F
@@ -165,12 +178,14 @@ class PlonkKzgSnark:
             if c.num_wire_types != num_wire_types:
                 raise PlonkError("wire type mismatch")
 
+        t0 = time.time()
         transcript = SolidityTranscript(self.curve)
         if extra_transcript_init_msg is not None:
             transcript.append_message(EXTRA_TRANSCRIPT_MSG_LABEL,
                                       extra_transcript_init_msg)
         for pk, c in zip(pks, circuits):
             transcript.append_vk_and_pub_input(pk.vk, c.public_input())
+        t0 = _tr("transcript init", t0)
 
         challenges = Challenges()
         oracles_list = [Oracles() for _ in circuits]
@@ -200,6 +215,7 @@ class PlonkKzgSnark:
             oracles_list[i].pub_inp_poly = prover.pub_input_poly(pi)
             transcript.append_commitments(b"witness_poly_comms", comms)
             wires_poly_comms_vec.append(comms)
+        t0 = _tr("round 1 (wires)", t0)
 
         # Round 1.5: Plookup sorted vectors (snark.rs:291-316)
         challenges.tau = transcript.get_and_append_challenge(b"tau")
@@ -232,6 +248,7 @@ class PlonkKzgSnark:
             oracles_list[i].prod_perm_poly = poly
             transcript.append_commitment(b"perm_poly_comms", comm)
             prod_perm_poly_comms_vec.append(comm)
+        t0 = _tr("round 2 (grand product)", t0)
 
         # Round 2.5: Plookup grand product (snark.rs:335-356)
         prod_lookup_poly_comms_vec = [None] * len(circuits)
@@ -261,9 +278,11 @@ class PlonkKzgSnark:
                 quot_sum = F.add(spec, quot_sum,
                                  F.mul(spec, quot, _const(spec, alpha_base)))
             alpha_base = alpha_base * (alpha7 if c.support_lookup() else alpha3) % p
+        t0 = _tr("round 3a (quotient evals)", t0)
         split_quot_poly_comms, split_quot_polys = prover.run_3rd_round(
             pks[0].commit_key, quot_sum, rng, mask)
         transcript.append_commitments(b"quot_poly_comms", split_quot_poly_comms)
+        t0 = _tr("round 3b (split+commit)", t0)
 
         # Round 4
         challenges.zeta = transcript.get_and_append_challenge(b"zeta")
@@ -272,6 +291,7 @@ class PlonkKzgSnark:
             evals = prover.compute_evaluations(pks[i], challenges, oracles_list[i])
             transcript.append_proof_evaluations(evals)
             poly_evals_vec.append(evals)
+        t0 = _tr("round 4 (evals)", t0)
 
         # Round 4.5: Plookup evaluations
         plookup_evals_vec = [None] * len(circuits)
@@ -285,12 +305,14 @@ class PlonkKzgSnark:
         lin_poly = prover.compute_lin_poly(
             alpha_bases, pks, challenges, oracles_list, poly_evals_vec,
             split_quot_polys, plookup_evals_vec)
+        t0 = _tr("lin poly", t0)
 
         # Round 5
         challenges.v = transcript.get_and_append_challenge(b"v")
         opening_proof, shifted_opening_proof = prover.compute_opening_proofs(
             pks[0].commit_key, pks, challenges.zeta, challenges.v, oracles_list,
             lin_poly)
+        t0 = _tr("round 5 (openings)", t0)
 
         plookup_proofs_vec = []
         for i, c in enumerate(circuits):
