@@ -236,6 +236,9 @@ def _cond_sub_p(spec: FieldSpec, a: jnp.ndarray, force_mask=None) -> jnp.ndarray
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a + b mod p (inputs/outputs canonical Montgomery limbs)."""
     a, b = jnp.broadcast_arrays(a, b)
+    if _use_pallas():
+        from . import pallas_field
+        return pallas_field.mont_add_pallas(spec, a, b)
     s, carry = _add_limbs(spec, a, b)
     # a + b < 2p < R so carry-out can only occur when 2p would exceed R;
     # FieldSpec guarantees 2p < R, hence carry is always False - but keep the
@@ -246,6 +249,9 @@ def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a - b mod p."""
     a, b = jnp.broadcast_arrays(a, b)
+    if _use_pallas():
+        from . import pallas_field
+        return pallas_field.mont_sub_pallas(spec, a, b)
     d, borrow = _sub_limbs(spec, a, b)
     p_b = jnp.broadcast_to(_const(spec, spec.p_limbs, a.ndim - 1), a.shape)
     d_plus_p, _ = _add_limbs(spec, d, p_b)
@@ -345,9 +351,30 @@ def _mul_unrolled(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarra
     return _cond_sub_p(spec, jnp.stack(out), force_mask=(top > 0))
 
 
+import os as _os
+
+_FORCE_NO_PALLAS = _os.environ.get("MPC_JELLYFISH_NO_PALLAS", "") == "1"
+
+
+def _use_pallas() -> bool:
+    if _FORCE_NO_PALLAS:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product a*b*R^-1 mod p (canonical limbs in/out)."""
+    """Montgomery product a*b*R^-1 mod p (canonical limbs in/out).
+
+    On TPU this dispatches to the Pallas kernel (VMEM-resident accumulator,
+    ~optimal HBM traffic); elsewhere to the rolled XLA implementation.
+    """
     a, b = jnp.broadcast_arrays(a, b)
+    if _use_pallas():
+        from . import pallas_field
+        return pallas_field.mont_mul_pallas(spec, a, b)
     return _mul_rolled(spec, a, b)
 
 

@@ -307,16 +307,32 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
     lanes = lanes_auto if lanes is None else lanes
     W = num_windows(Lr, c)
 
+    import os, sys, time
+    trace = os.environ.get("MPC_JELLYFISH_TPU_TRACE", "") == "1"
+    t0 = time.time()
     digits = _window_digits_batch(scalars, c).reshape(k * W, n)
+    if trace:
+        jax.block_until_ready(digits)
+        print(f"        [msm] digits: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
+        t0 = time.time()
 
     outs = []
     for start in range(0, k * W, job_chunk):
         chunk = digits[start:start + job_chunk]
         outs.append(_msm_jobs(spec, points, chunk, c, lanes))
+        if trace:
+            jax.block_until_ready(outs[-1])
+            print(f"        [msm] jobs[{start}:{start+job_chunk}]: {time.time()-t0:.2f}s",
+                  file=sys.stderr, flush=True)
+            t0 = time.time()
     wsums = tuple(jnp.concatenate([o[i] for o in outs], axis=1)
                   for i in range(3))                     # [L, k*W]
     wsums = tuple(t.reshape(spec.num_limbs, k, W) for t in wsums)
-    return _combine_windows(spec, wsums, c)
+    res = _combine_windows(spec, wsums, c)
+    if trace:
+        jax.block_until_ready(res)
+        print(f"        [msm] combine: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
+    return res
 
 
 def msm(spec: FieldSpec, points, scalars: jnp.ndarray, c: int | None = None,

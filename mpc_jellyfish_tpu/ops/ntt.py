@@ -90,6 +90,32 @@ class Domain:
     def twiddles_inv(self):
         return self._twiddles(self.w_inv)
 
+    def _twiddles_dense(self, root: int):
+        """Per-stage DISTINCT twiddle vectors (numpy [L, n >> (s+1)]).
+
+        The TPU path expands these with a broadcast (repeat 2^s) instead of a
+        runtime gather - gathers are the slowest primitive on TPU."""
+        spec = self.spec
+        out = []
+        for s in range(self.log_n):
+            stride = 1 << s
+            cnt = self.n >> (s + 1)
+            step = pow(root, stride, spec.p)
+            vals, cur = [], 1
+            for _ in range(cnt):
+                vals.append(spec.to_mont_int(cur))
+                cur = cur * step % spec.p
+            out.append(ints_to_limbs(vals, spec.num_limbs))
+        return out
+
+    @functools.cached_property
+    def twiddles_fwd_dense(self):
+        return self._twiddles_dense(self.w)
+
+    @functools.cached_property
+    def twiddles_inv_dense(self):
+        return self._twiddles_dense(self.w_inv)
+
     @functools.cached_property
     def elements_host(self) -> list:
         """Host list of domain elements 1, w, w^2, ... (normal-form ints)."""
@@ -160,15 +186,47 @@ def _dif(spec: FieldSpec, x: jnp.ndarray, twiddles, log_n: int) -> jnp.ndarray:
     return x
 
 
+def _dif_tpu(spec: FieldSpec, x: jnp.ndarray, dense_tw, log_n: int) -> jnp.ndarray:
+    """Unrolled constant-geometry DIF using the fused Pallas butterfly kernel.
+
+    dense_tw: list of numpy [L, n >> (s+1)] distinct twiddles per stage,
+    expanded by repeat (broadcast+reshape, gather-free).  Supports [L, n] and
+    [L, B, n] (vmapped over the poly batch).
+    """
+    from . import pallas_field as PF
+    n = x.shape[-1]
+    h = n // 2
+    batched = x.ndim == 3
+
+    for s in range(log_n):
+        tw = jnp.asarray(dense_tw[s])                  # [L, cnt]
+        w = jnp.repeat(tw, 1 << s, axis=1)             # [L, h] dense
+        if batched:
+            x = jax.vmap(lambda xb: PF.ntt_stage_pallas(spec, xb, w),
+                         in_axes=1, out_axes=1)(x)
+        else:
+            x = PF.ntt_stage_pallas(spec, x, w)
+    return x
+
+
+def _dif_dispatch(domain: Domain, x, twiddles, inverse: bool):
+    from . import field as F
+    if F._use_pallas():
+        dense = (domain.twiddles_inv_dense if inverse
+                 else domain.twiddles_fwd_dense)
+        return _dif_tpu(domain.spec, x, dense, domain.log_n)
+    return _dif(domain.spec, x, twiddles, domain.log_n)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _ntt_jit(domain: Domain, coeffs, twiddles, bitrev):
-    y = _dif(domain.spec, coeffs, twiddles, domain.log_n)
+    y = _dif_dispatch(domain, coeffs, twiddles, False)
     return jnp.take(y, bitrev, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _intt_jit(domain: Domain, evals, twiddles, bitrev):
-    y = _dif(domain.spec, evals, twiddles, domain.log_n)
+    y = _dif_dispatch(domain, evals, twiddles, True)
     y = jnp.take(y, bitrev, axis=-1)
     return F.mul_const(domain.spec, y, domain.n_inv)
 
@@ -192,7 +250,7 @@ def _coset_ntt_jit(domain: Domain, coeffs, pows, twiddles, bitrev):
     if coeffs.ndim == 3:
         pows = pows[:, None, :]
     scaled = F.mul(domain.spec, coeffs, pows)
-    y = _dif(domain.spec, scaled, twiddles, domain.log_n)
+    y = _dif_dispatch(domain, scaled, twiddles, False)
     return jnp.take(y, bitrev, axis=-1)
 
 
@@ -200,7 +258,7 @@ def _coset_ntt_jit(domain: Domain, coeffs, pows, twiddles, bitrev):
 def _coset_intt_jit(domain: Domain, evals, pows_inv, twiddles, bitrev):
     if evals.ndim == 3:
         pows_inv = pows_inv[:, None, :]
-    y = _dif(domain.spec, evals, twiddles, domain.log_n)
+    y = _dif_dispatch(domain, evals, twiddles, True)
     y = jnp.take(y, bitrev, axis=-1)
     y = F.mul_const(domain.spec, y, domain.n_inv)
     return F.mul(domain.spec, y, pows_inv)

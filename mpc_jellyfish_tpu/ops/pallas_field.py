@@ -1,0 +1,293 @@
+"""Pallas TPU kernel for Montgomery multiplication.
+
+The pure-XLA rolled implementation (`field._mul_rolled`) streams its
+[2L+1, n] accumulator through HBM on every one of ~32 loop iterations -
+measured ~1% of VPU peak.  This kernel keeps the whole accumulator in
+VMEM/vector registers: HBM traffic drops to the optimal read-a, read-b,
+write-out, and the fully unrolled 16x16 product/REDC schedule vectorizes on
+the VPU.  (Unrolling inside a Pallas kernel is cheap to compile - the
+kernel body is one block, not an n-sized XLA graph.)
+
+Layout: operands are [L, N] uint32 16-bit limbs (Montgomery form), N tiled
+into lane blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.bigint import LIMB_BITS, LIMB_MASK
+
+BLOCK = 512
+
+
+def _mont_mul_kernel_body(p_limbs, n0inv, L, a_ref, b_ref, o_ref):
+    a = [a_ref[i, :] for i in range(L)]
+    b = [b_ref[i, :] for i in range(L)]
+    zero = jnp.zeros_like(a[0])
+    acc = [zero] * (2 * L + 1)
+
+    # schoolbook product with lazy 16-bit column accumulation (< 2^23)
+    for i in range(L):
+        for j in range(L):
+            prod = a[i] * b[j]
+            acc[i + j] = acc[i + j] + (prod & LIMB_MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+
+    # CIOS-style Montgomery reduction
+    for i in range(L):
+        m = ((acc[i] & LIMB_MASK) * n0inv) & LIMB_MASK
+        for j in range(L):
+            prod = m * p_limbs[j]
+            acc[i + j] = acc[i + j] + (prod & LIMB_MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+        acc[i + 1] = acc[i + 1] + (acc[i] >> LIMB_BITS)
+
+    # carry-propagate the high half
+    res = []
+    carry = zero
+    for j in range(L, 2 * L):
+        s = acc[j] + carry
+        carry = s >> LIMB_BITS
+        res.append(s & LIMB_MASK)
+
+    # conditional subtract p (res < 2p guaranteed; 2p < 2^(16L))
+    borrow = jnp.zeros_like(res[0], dtype=jnp.int32)
+    sub = []
+    for i in range(L):
+        d = res[i].astype(jnp.int32) - np.int32(p_limbs[i]) - borrow
+        borrow = (d < 0).astype(jnp.int32)
+        sub.append((d + (borrow << LIMB_BITS)).astype(jnp.uint32))
+    # geq: res >= p  <=>  no final borrow
+    take_sub = borrow == 0
+    for i in range(L):
+        o_ref[i, :] = jnp.where(take_sub, sub[i], res[i])
+
+
+def _mm_vecs(p_limbs, n0inv, L, a, b):
+    """Montgomery product on lists of limb vectors (shared kernel helper)."""
+    zero = jnp.zeros_like(a[0])
+    acc = [zero] * (2 * L + 1)
+    for i in range(L):
+        for j in range(L):
+            prod = a[i] * b[j]
+            acc[i + j] = acc[i + j] + (prod & LIMB_MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+    for i in range(L):
+        m = ((acc[i] & LIMB_MASK) * n0inv) & LIMB_MASK
+        for j in range(L):
+            prod = m * p_limbs[j]
+            acc[i + j] = acc[i + j] + (prod & LIMB_MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+        acc[i + 1] = acc[i + 1] + (acc[i] >> LIMB_BITS)
+    res = []
+    carry = zero
+    for j in range(L, 2 * L):
+        s = acc[j] + carry
+        carry = s >> LIMB_BITS
+        res.append(s & LIMB_MASK)
+    return _cond_sub_vecs(p_limbs, L, res)
+
+
+def _cond_sub_vecs(p_limbs, L, res):
+    borrow = jnp.zeros_like(res[0], dtype=jnp.int32)
+    sub = []
+    for i in range(L):
+        d = res[i].astype(jnp.int32) - np.int32(p_limbs[i]) - borrow
+        borrow = (d < 0).astype(jnp.int32)
+        sub.append((d + (borrow << LIMB_BITS)).astype(jnp.uint32))
+    take_sub = borrow == 0
+    return [jnp.where(take_sub, s, r) for s, r in zip(sub, res)]
+
+
+def _add_vecs(p_limbs, L, a, b):
+    carry = jnp.zeros_like(a[0])
+    s = []
+    for i in range(L):
+        t = a[i] + b[i] + carry
+        carry = t >> LIMB_BITS
+        s.append(t & LIMB_MASK)
+    return _cond_sub_vecs(p_limbs, L, s)
+
+
+def _sub_vecs(p_limbs, L, a, b):
+    borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
+    d = []
+    for i in range(L):
+        t = a[i].astype(jnp.int32) - b[i].astype(jnp.int32) - borrow
+        borrow = (t < 0).astype(jnp.int32)
+        d.append((t + (borrow << LIMB_BITS)).astype(jnp.uint32))
+    need_p = borrow > 0
+    carry = jnp.zeros_like(a[0])
+    out = []
+    for i in range(L):
+        t = d[i] + jnp.where(need_p, np.uint32(p_limbs[i]), np.uint32(0)) + carry
+        carry = t >> LIMB_BITS
+        out.append(t & LIMB_MASK)
+    return out
+
+
+def _butterfly_kernel_body(p_limbs, n0inv, L, a_ref, b_ref, w_ref,
+                           s_ref, d_ref):
+    """One constant-geometry DIF stage block: s = a + b, d = (a - b) * w."""
+    a = [a_ref[i, :] for i in range(L)]
+    b = [b_ref[i, :] for i in range(L)]
+    w = [w_ref[i, :] for i in range(L)]
+    s = _add_vecs(p_limbs, L, a, b)
+    d = _mm_vecs(p_limbs, n0inv, L, _sub_vecs(p_limbs, L, a, b), w)
+    for i in range(L):
+        s_ref[i, :] = s[i]
+        d_ref[i, :] = d[i]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ntt_stage_pallas(spec, x: jnp.ndarray, w_dense: jnp.ndarray) -> jnp.ndarray:
+    """Fused butterfly stage: x [L, n], w_dense [L, n/2] -> [L, n]
+    interleaved(a+b, (a-b)*w).  One fused compute pass (the interleave is a
+    cheap XLA reshuffle; Mosaic cannot emit strided interleaved stores)."""
+    L = spec.num_limbs
+    n = x.shape[-1]
+    h = n // 2
+    hb = min(BLOCK, h)
+    kernel = functools.partial(
+        _butterfly_kernel_body,
+        tuple(np.uint32(v) for v in spec.p_limbs), np.uint32(spec.n0inv), L)
+    nb = h // hb
+    s, d = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((L, h), jnp.uint32),
+                   jax.ShapeDtypeStruct((L, h), jnp.uint32)),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((L, hb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hb), lambda i, _nb=nb: (0, _nb + i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((L, hb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+    )(x, x, w_dense)
+    return jnp.stack([s, d], axis=-1).reshape(L, n)
+
+
+def _add_kernel_body(p_limbs, L, a_ref, b_ref, o_ref):
+    carry = jnp.zeros_like(a_ref[0, :])
+    s = []
+    for i in range(L):
+        t = a_ref[i, :] + b_ref[i, :] + carry
+        carry = t >> LIMB_BITS
+        s.append(t & LIMB_MASK)
+    # conditional subtract p when s >= p (sum < 2p < 2^(16L), carry-out == 0)
+    borrow = jnp.zeros_like(s[0], dtype=jnp.int32)
+    sub = []
+    for i in range(L):
+        d = s[i].astype(jnp.int32) - np.int32(p_limbs[i]) - borrow
+        borrow = (d < 0).astype(jnp.int32)
+        sub.append((d + (borrow << LIMB_BITS)).astype(jnp.uint32))
+    take_sub = borrow == 0
+    for i in range(L):
+        o_ref[i, :] = jnp.where(take_sub, sub[i], s[i])
+
+
+def _sub_kernel_body(p_limbs, L, a_ref, b_ref, o_ref):
+    borrow = jnp.zeros_like(a_ref[0, :], dtype=jnp.int32)
+    d = []
+    for i in range(L):
+        t = a_ref[i, :].astype(jnp.int32) - b_ref[i, :].astype(jnp.int32) - borrow
+        borrow = (t < 0).astype(jnp.int32)
+        d.append((t + (borrow << LIMB_BITS)).astype(jnp.uint32))
+    # if borrow: result += p
+    need_p = borrow > 0
+    carry = jnp.zeros_like(a_ref[0, :])
+    for i in range(L):
+        t = d[i] + jnp.where(need_p, np.uint32(p_limbs[i]), np.uint32(0)) + carry
+        carry = t >> LIMB_BITS
+        o_ref[i, :] = t & LIMB_MASK
+
+
+def _binary_pallas(spec, kernel_body, a, b):
+    L = spec.num_limbs
+    shape = a.shape
+    n = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    af = a.reshape(L, n)
+    bf = b.reshape(L, n)
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    if n_pad != n:
+        pad = jnp.zeros((L, n_pad - n), dtype=jnp.uint32)
+        af = jnp.concatenate([af, pad], axis=1)
+        bf = jnp.concatenate([bf, pad], axis=1)
+    kernel = functools.partial(kernel_body,
+                               tuple(np.uint32(x) for x in spec.p_limbs), L)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n_pad), jnp.uint32),
+        grid=(n_pad // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((L, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(af, bf)
+    if n_pad != n:
+        out = out[:, :n]
+    return out.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def mont_add_pallas(spec, a, b):
+    """Modular add over [L, *batch] limb tensors (TPU Pallas)."""
+    return _binary_pallas(spec, _add_kernel_body, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def mont_sub_pallas(spec, a, b):
+    """Modular sub over [L, *batch] limb tensors (TPU Pallas)."""
+    return _binary_pallas(spec, _sub_kernel_body, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def mont_mul_pallas(spec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product over [L, *batch] limb tensors (TPU Pallas)."""
+    L = spec.num_limbs
+    shape = a.shape
+    n = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    af = a.reshape(L, n)
+    bf = b.reshape(L, n)
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    if n_pad != n:
+        pad = jnp.zeros((L, n_pad - n), dtype=jnp.uint32)
+        af = jnp.concatenate([af, pad], axis=1)
+        bf = jnp.concatenate([bf, pad], axis=1)
+
+    kernel = functools.partial(
+        _mont_mul_kernel_body,
+        tuple(np.uint32(x) for x in spec.p_limbs),
+        np.uint32(spec.n0inv), L)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n_pad), jnp.uint32),
+        grid=(n_pad // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((L, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_pad) * (2 * L * L * 3 + 8 * L),
+            bytes_accessed=3 * L * int(n_pad) * 4,
+            transcendentals=0,
+        ),
+    )(af, bf)
+    if n_pad != n:
+        out = out[:, :n]
+    return out.reshape(shape)

@@ -172,6 +172,9 @@ def commit_batch(ck: CommitKey, polys: list) -> list:
 
     Polys may have different lengths; they share the SRS bases.
     """
+    import os, sys, time
+    trace = os.environ.get("MPC_JELLYFISH_TPU_TRACE", "") == "1"
+    t0 = time.time()
     fq, fr = ck.curve.fq, ck.curve.fr
     nmax = max(c.shape[1] for c in polys)
     if nmax > ck.powers_of_g[0].shape[1]:
@@ -182,9 +185,24 @@ def commit_batch(ck: CommitKey, polys: list) -> list:
             c = jnp.concatenate(
                 [c, F.zeros(fr, (nmax - c.shape[1],))], axis=1)
         padded.append(F.from_mont(fr, c))
+    if trace:
+        jax.block_until_ready(padded)
+        print(f"      [commit] prep: {time.time()-t0:.2f}s", file=sys.stderr,
+              flush=True)
+        t0 = time.time()
     bases = tuple(t[..., :nmax] for t in ck.powers_of_g)
     res = M.msm_batch(fq, bases, padded)                  # jac [L, k]
-    return E.affine_from_device(fq, E.jac_to_affine(fq, res))
+    if trace:
+        jax.block_until_ready(res)
+        print(f"      [commit] msm: {time.time()-t0:.2f}s", file=sys.stderr,
+              flush=True)
+        t0 = time.time()
+    aff = E.jac_to_affine(fq, res)
+    out = E.affine_from_device(fq, aff)
+    if trace:
+        print(f"      [commit] affine+D2H: {time.time()-t0:.2f}s",
+              file=sys.stderr, flush=True)
+    return out
 
 
 def commit(ck: CommitKey, coeffs_mont: jnp.ndarray) -> AffinePoint:
