@@ -198,14 +198,11 @@ def _dif_tpu(spec: FieldSpec, x: jnp.ndarray, dense_tw, log_n: int) -> jnp.ndarr
     h = n // 2
     batched = x.ndim == 3
 
+    del batched
     for s in range(log_n):
         tw = jnp.asarray(dense_tw[s])                  # [L, cnt]
         w = jnp.repeat(tw, 1 << s, axis=1)             # [L, h] dense
-        if batched:
-            x = jax.vmap(lambda xb: PF.ntt_stage_pallas(spec, xb, w),
-                         in_axes=1, out_axes=1)(x)
-        else:
-            x = PF.ntt_stage_pallas(spec, x, w)
+        x = PF.ntt_stage_pallas(spec, x, w)
     return x
 
 

@@ -148,34 +148,47 @@ def _butterfly_kernel_body(p_limbs, n0inv, L, a_ref, b_ref, w_ref,
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def ntt_stage_pallas(spec, x: jnp.ndarray, w_dense: jnp.ndarray) -> jnp.ndarray:
-    """Fused butterfly stage: x [L, n], w_dense [L, n/2] -> [L, n]
-    interleaved(a+b, (a-b)*w).  One fused compute pass (the interleave is a
-    cheap XLA reshuffle; Mosaic cannot emit strided interleaved stores)."""
+    """Fused butterfly stage: x [L, n] or [L, B, n], w_dense [L, n/2]
+    -> same shape, interleaved(a+b, (a-b)*w).
+
+    One fused compute pass; a poly batch rides a second grid dimension (the
+    interleave itself is a cheap XLA reshuffle; Mosaic cannot emit strided
+    interleaved stores)."""
     L = spec.num_limbs
+    batched = x.ndim == 3
+    B = x.shape[1] if batched else 1
     n = x.shape[-1]
     h = n // 2
     hb = min(BLOCK, h)
     kernel = functools.partial(
         _butterfly_kernel_body,
         tuple(np.uint32(v) for v in spec.p_limbs), np.uint32(spec.n0inv), L)
-    nb = h // hb
+    nb = h // hb          # hb-blocks per half
+    nfb = n // hb         # hb-blocks per full poly
+    hfb = h // hb         # hb-blocks per half poly
+    xf = x.reshape(L, B * n)
     s, d = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((L, h), jnp.uint32),
-                   jax.ShapeDtypeStruct((L, h), jnp.uint32)),
-        grid=(nb,),
+        out_shape=(jax.ShapeDtypeStruct((L, B * h), jnp.uint32),
+                   jax.ShapeDtypeStruct((L, B * h), jnp.uint32)),
+        grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((L, hb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, hb), lambda i, _nb=nb: (0, _nb + i),
+            pl.BlockSpec((L, hb), lambda b, i, _n=nfb: (0, b * _n + i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, hb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hb), lambda b, i, _n=nfb, _h=hfb: (0, b * _n + _h + i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hb), lambda b, i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((L, hb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, hb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hb), lambda b, i, _h=hfb: (0, b * _h + i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hb), lambda b, i, _h=hfb: (0, b * _h + i),
+                         memory_space=pltpu.VMEM),
         ),
-    )(x, x, w_dense)
-    return jnp.stack([s, d], axis=-1).reshape(L, n)
+    )(xf, xf, w_dense)
+    out = jnp.stack([s.reshape(L, B, h), d.reshape(L, B, h)], axis=-1)
+    out = out.reshape(L, B, n)
+    return out if batched else out[:, 0]
 
 
 def _add_kernel_body(p_limbs, L, a_ref, b_ref, o_ref):

@@ -531,6 +531,115 @@ class PlonkCircuit:
             raise CircuitError("unfinalized circuit")
         return self.eval_domain_n
 
+    # -- proof-linking group API (reference LinkableCircuit) --------------
+    def create_link_group(self, gid: str, layout=None) -> str:
+        """Create a proof-linking group (TurboPlonk only;
+        linkable_circuit.rs:72)."""
+        if self.ultra_plonk:
+            raise CircuitError("only TurboPlonk supports link groups")
+        self.link_groups[gid] = []
+        if layout is not None:
+            self.link_group_layouts[gid] = layout
+        return gid
+
+    def add_to_link_groups(self, var: int, groups):
+        self.check_var(var)
+        for g in groups:
+            if g not in self.link_groups:
+                raise CircuitError(f"link group {g} not found")
+            self.link_groups[g].append(var)
+
+    def create_variable_with_link_groups(self, val: int, groups) -> int:
+        var = self.create_variable(val)
+        self.add_to_link_groups(var, groups)
+        return var
+
+    def num_links(self) -> int:
+        return sum(len(v) for v in self.link_groups.values())
+
+    def min_alignment(self) -> int:
+        max_a = 0
+        for gid in self.link_groups:
+            lay = self.link_group_layouts.get(gid)
+            if lay is not None:
+                max_a = max(max_a, lay.alignment)
+        n_links = max(self.num_links(), 1)
+        all_links_a = (n_links - 1).bit_length()
+        return max(max_a, all_links_a)
+
+    def generate_layout(self):
+        """Place link groups (reference linkable_circuit.rs:136-176)."""
+        from .proof_linking import (CircuitLayout, place_group_with_alignment,
+                                    validate_layout)
+        placed, unplaced = [], []
+        for gid in self.link_groups:
+            lay = self.link_group_layouts.get(gid)
+            if lay is not None:
+                placed.append((gid, lay))
+            else:
+                unplaced.append(gid)
+        alignment = self.min_alignment()
+        placed.sort(key=lambda kv: kv[1].range_in_nth_roots(alignment))
+        inputs = self.num_inputs()
+        for gid in unplaced:
+            size = len(self.link_groups[gid])
+            while not place_group_with_alignment(size, inputs, alignment, gid,
+                                                 placed):
+                alignment += 1
+        layout = CircuitLayout(n_inputs=self.num_inputs(),
+                               n_gates=self.num_gates(),
+                               group_layouts=dict(placed))
+        validate_layout(self.num_inputs(), layout)
+        for gid, gl in layout.group_layouts.items():
+            self.link_group_layouts[gid] = gl
+        return layout
+
+    def apply_layout(self, layout):
+        """Rebuild the trace with proof-linking gates placed on their
+        roots-of-unity slots (reference linkable_circuit.rs:182-238)."""
+        from .proof_linking import PROOF_LINK_WIRE_IDX
+        self._rearrange_io_gates_pre_pad()
+        size = layout.circuit_size()
+        old_gates = iter(self.gates)
+        old_vars = [iter(col) for col in self.wire_variables]
+        new_gates = []
+        new_wires = [[] for _ in range(GATE_WIDTH + 2)]
+
+        def place(n):
+            for _ in range(n):
+                g = next(old_gates, None)
+                new_gates.append(g if g is not None else G.PaddingGate())
+                for w in range(GATE_WIDTH + 2):
+                    v = next(old_vars[w], None)
+                    new_wires[w].append(v if v is not None else 0)
+
+        place(layout.n_inputs)
+        calign = layout.circuit_alignment()
+        for gid, gl in layout.sorted_groups_iter():
+            start, _ = gl.range_in_nth_roots(calign)
+            place(start - len(new_gates))
+            spacing = 1 << (calign - gl.alignment)
+            for link_var in self.link_groups[gid]:
+                new_gates.append(G.ProofLinkingGate())
+                for w in range(GATE_WIDTH + 2):
+                    new_wires[w].append(
+                        link_var if w == PROOF_LINK_WIRE_IDX else 0)
+                place(spacing - 1)
+        place(size - len(new_gates))
+        self.gates = new_gates
+        self.wire_variables = new_wires
+
+    def _rearrange_io_gates_pre_pad(self):
+        """IO gates to the front (order_gates, pre-padding)."""
+        for gate_id, io_gate_id in enumerate(self.pub_input_gate_ids):
+            if io_gate_id > gate_id:
+                self.gates[gate_id], self.gates[io_gate_id] = \
+                    self.gates[io_gate_id], self.gates[gate_id]
+                for i in range(GATE_WIDTH + 1):
+                    wv = self.wire_variables[i]
+                    wv[gate_id], wv[io_gate_id] = wv[io_gate_id], wv[gate_id]
+                self.pub_input_gate_ids[gate_id] = gate_id
+
     def finalize_for_arithmetization(self):
         """Reference constraint_system.rs:966-999."""
         if self.is_finalized():
@@ -541,13 +650,23 @@ class PlonkCircuit:
                 max(self.range_size(), len(self.wire_variables[RANGE_WIRE_ID]))
                 + self.num_table_elems + 1,
             )
+            n = 1 << (max(n_gates, 2) - 1).bit_length()
+            self.eval_domain_n = n
+            self._pad()
+            self._rearrange_gates()
+        elif self.link_groups:
+            layout = self.generate_layout()
+            self.eval_domain_n = layout.circuit_size()
+            self.apply_layout(layout)
+            # wire columns already sized to the domain by apply_layout
+            for wid in range(self.num_wire_types):
+                assert len(self.wire_variables[wid]) == self.eval_domain_n
         else:
-            n_gates = self.num_gates() + len(self.link_groups)  # layout may add gates
-            n_gates = max(n_gates, 2)
-        n = 1 << (n_gates - 1).bit_length()
-        self.eval_domain_n = n
-        self._pad()
-        self._rearrange_gates()
+            n_gates = max(self.num_gates(), 2)
+            n = 1 << (n_gates - 1).bit_length()
+            self.eval_domain_n = n
+            self._pad()
+            self._rearrange_gates()
         self._compute_wire_permutation()
         self._compute_extended_id_permutation()
 

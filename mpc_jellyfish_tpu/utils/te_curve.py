@@ -1,0 +1,73 @@
+"""Twisted Edwards curve arithmetic (host) - Baby Jubjub (ed-on-bn254).
+
+Mirror of the arkworks TE configs the reference signs over
+(`primitives/src/signatures/schnorr.rs` uses `Config: TECurveConfig`).
+Complete Edwards addition formulas; exact Python ints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TECurve:
+    """a*x^2 + y^2 = 1 + d*x^2*y^2 over Fq; prime-order subgroup of size l."""
+    name: str
+    q: int          # base field modulus
+    a: int
+    d: int
+    order: int      # prime subgroup order (scalar field)
+    cofactor: int
+    gen: tuple      # subgroup generator (x, y)
+
+    def is_on_curve(self, pt) -> bool:
+        x, y = pt
+        return ((self.a * x * x + y * y) % self.q
+                == (1 + self.d * x * x % self.q * y * y) % self.q)
+
+    def add(self, p1, p2):
+        q = self.q
+        x1, y1 = p1
+        x2, y2 = p2
+        x1x2 = x1 * x2 % q
+        y1y2 = y1 * y2 % q
+        dxy = self.d * x1x2 % q * y1y2 % q
+        x3 = (x1 * y2 + y1 * x2) * pow(1 + dxy, -1, q) % q
+        y3 = (y1y2 - self.a * x1x2) * pow(1 - dxy, -1, q) % q
+        return (x3, y3)
+
+    def neg(self, p):
+        return ((-p[0]) % self.q, p[1])
+
+    def mul(self, p, k: int):
+        k %= self.order * self.cofactor
+        result, base = self.identity, p
+        while k:
+            if k & 1:
+                result = self.add(result, base)
+            base = self.add(base, base)
+            k >>= 1
+        return result
+
+    @property
+    def identity(self):
+        return (0, 1)
+
+    def is_identity(self, pt) -> bool:
+        return pt == (0, 1)
+
+
+# Baby Jubjub (arkworks ed_on_bn254): standard published parameters.
+BABY_JUBJUB = TECurve(
+    name="ed_on_bn254",
+    q=21888242871839275222246405745257275088548364400416034343698204186575808495617,
+    a=168700,
+    d=168696,
+    order=2736030358979909402780800718157159386076813972158567259200215660948447373041,
+    cofactor=8,
+    gen=(
+        5299619240641551281634865583518297030282874472190772894086521144482721001553,
+        16950150798460657717958625567821834550301663161624707787222815936182638968203,
+    ),
+)
