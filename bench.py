@@ -49,8 +49,8 @@ def build_circuit(spec, log_n):
 
 
 def main():
-    log_n = int(os.environ.get("BENCH_LOG_N", "12"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    log_n = int(os.environ.get("BENCH_LOG_N", "14"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
 
     t0 = time.time()
     import jax

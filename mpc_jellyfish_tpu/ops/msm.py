@@ -316,8 +316,15 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
         print(f"        [msm] digits: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
         t0 = time.time()
 
+    # pad the job axis to a multiple of job_chunk with dummy (zero-digit)
+    # jobs: every chunk then has the SAME shape -> one compiled executable
+    J = k * W
+    J_pad = ((J + job_chunk - 1) // job_chunk) * job_chunk
+    if J_pad != J:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((J_pad - J, n), jnp.int32)], axis=0)
     outs = []
-    for start in range(0, k * W, job_chunk):
+    for start in range(0, J_pad, job_chunk):
         chunk = digits[start:start + job_chunk]
         outs.append(_msm_jobs(spec, points, chunk, c, lanes))
         if trace:
@@ -325,7 +332,7 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
             print(f"        [msm] jobs[{start}:{start+job_chunk}]: {time.time()-t0:.2f}s",
                   file=sys.stderr, flush=True)
             t0 = time.time()
-    wsums = tuple(jnp.concatenate([o[i] for o in outs], axis=1)
+    wsums = tuple(jnp.concatenate([o[i] for o in outs], axis=1)[:, :J]
                   for i in range(3))                     # [L, k*W]
     wsums = tuple(t.reshape(spec.num_limbs, k, W) for t in wsums)
     res = _combine_windows(spec, wsums, c)

@@ -179,6 +179,10 @@ def commit_batch(ck: CommitKey, polys: list) -> list:
     nmax = max(c.shape[1] for c in polys)
     if nmax > ck.powers_of_g[0].shape[1]:
         raise ValueError("poly degree exceeds commit key")
+    # pad every poly to the FULL commit-key length: all MSMs at a given
+    # domain then share one compiled executable (shape stability trumps the
+    # few extra zero scalars)
+    nmax = ck.powers_of_g[0].shape[1]
     padded = []
     for c in polys:
         if c.shape[1] < nmax:

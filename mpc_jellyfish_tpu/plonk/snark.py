@@ -47,9 +47,10 @@ class WrongProof(PlonkError):
 class PlonkKzgSnark:
     """TurboPlonk SNARK over a KZG PCS (UltraPlonk arrives with Plookup)."""
 
-    def __init__(self, curve: CurveSpec):
+    def __init__(self, curve: CurveSpec, transcript_cls=SolidityTranscript):
         self.curve = curve
         self.spec = curve.fr
+        self.transcript_cls = transcript_cls
 
     # -- setup / preprocess ----------------------------------------------
     def universal_setup_for_testing(self, max_degree: int, seed: int = 0):
@@ -179,7 +180,7 @@ class PlonkKzgSnark:
                 raise PlonkError("wire type mismatch")
 
         t0 = time.time()
-        transcript = SolidityTranscript(self.curve)
+        transcript = self.transcript_cls(self.curve)
         if extra_transcript_init_msg is not None:
             transcript.append_message(EXTRA_TRANSCRIPT_MSG_LABEL,
                                       extra_transcript_init_msg)
@@ -357,7 +358,7 @@ class PlonkKzgSnark:
         pcs_infos = []
         for vk, proof, pi, extra in zip(vks, proofs, public_inputs,
                                         extra_transcript_init_msgs):
-            verifier = Verifier(self.curve, vk.domain_size)
+            verifier = Verifier(self.curve, vk.domain_size, self.transcript_cls)
             pcs_infos.append(verifier.prepare_pcs_info(
                 [vk], [pi], BatchProof.from_proof(proof), extra))
         if not Verifier.batch_verify_opening_proofs(
@@ -366,7 +367,7 @@ class PlonkKzgSnark:
 
     def verify_batch_proof(self, vks, public_inputs, batch_proof: BatchProof):
         """snark.rs:117-138 (one aggregated proof, many instances)."""
-        verifier = Verifier(self.curve, vks[0].domain_size)
+        verifier = Verifier(self.curve, vks[0].domain_size, self.transcript_cls)
         pcs_info = verifier.prepare_pcs_info(vks, public_inputs, batch_proof, None)
         if not Verifier.batch_verify_opening_proofs(
                 self.curve, vks[0].open_key, [pcs_info]):

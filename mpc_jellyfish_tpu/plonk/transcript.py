@@ -88,3 +88,37 @@ class SolidityTranscript:
         buf1 = keccak256(base + b"\x01")
         self.state = buf0 + buf1
         return int.from_bytes(self.state[:48], "little") % self.curve.fr.p
+
+
+class RescueTranscript(SolidityTranscript):
+    """Rescue-sponge transcript over the curve's BASE field
+    (reference `transcript/rescue.rs:36-55`; used by the recursion gadget).
+
+    Same append interface as the Solidity transcript (bytes accumulate);
+    challenges are squeezed with a Rescue sponge over Fq and reduced into Fr.
+    """
+
+    def __init__(self, curve: CurveSpec, label: bytes = b"PlonkProof"):
+        super().__init__(curve, label)
+        from ..primitives.rescue import RescueParams, STATE_SIZE
+        self._params = RescueParams(curve.fq)
+        self._state_f = [0] * STATE_SIZE
+
+    def get_and_append_challenge(self, label: bytes) -> int:
+        from ..primitives.rescue import CRHF_RATE, STATE_SIZE
+        fq = self.curve.fq
+        # absorb pending transcript bytes as base-field elements
+        chunk = (fq.p.bit_length() - 1) // 8
+        data = bytes(self.transcript)
+        elems = [int.from_bytes(data[o:o + chunk], "little")
+                 for o in range(0, len(data), chunk)]
+        state = list(self._state_f)
+        padded = elems + [1]
+        padded += [0] * ((-len(padded)) % CRHF_RATE)
+        for off in range(0, len(padded), CRHF_RATE):
+            for i in range(CRHF_RATE):
+                state[i] = (state[i] + padded[off + i]) % fq.p
+            state = self._params.permute(state)
+        self._state_f = state
+        self.transcript = bytearray()
+        return state[0] % self.curve.fr.p

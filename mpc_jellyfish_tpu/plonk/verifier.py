@@ -58,8 +58,10 @@ class PcsInfo:
 class Verifier:
     """Mirror of verifier.rs `Verifier`."""
 
-    def __init__(self, curve: CurveSpec, domain_size: int):
+    def __init__(self, curve: CurveSpec, domain_size: int,
+                 transcript_cls=SolidityTranscript):
         from ..ops.ntt import Domain
+        self.transcript_cls = transcript_cls
         self.curve = curve
         self.p = curve.fr.p
         self.n = domain_size
@@ -70,7 +72,7 @@ class Verifier:
     # -- challenges (verifier.rs:256-321) --------------------------------
     def compute_challenges(self, vks, public_inputs, batch_proof: BatchProof,
                            extra_transcript_init_msg=None) -> Challenges:
-        t = SolidityTranscript(self.curve)
+        t = self.transcript_cls(self.curve)
         if extra_transcript_init_msg is not None:
             t.append_message(EXTRA_TRANSCRIPT_MSG_LABEL, extra_transcript_init_msg)
         for vk, pi in zip(vks, public_inputs):

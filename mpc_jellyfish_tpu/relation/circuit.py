@@ -735,6 +735,80 @@ class PlonkCircuit:
             for j in range(n):
                 self.extended_id_permutation[i * n + j] = ki * elems[j] % p
 
+    # -- mergeable circuits (reference constraint_system.rs:1004-1146) ----
+    def finalize_for_mergeable_circuit(self, circuit_type: str):
+        """circuit_type: 'A' or 'B'.  Finalize, double the domain, and for
+        type B reverse the gate order so two circuits can be merged."""
+        if self.ultra_plonk:
+            raise CircuitError("only TurboPlonk circuits are mergeable")
+        self.finalize_for_arithmetization()
+        n = self.eval_domain_size()
+        self.eval_domain_n = 2 * n
+        self.pad_gates_unchecked(n)
+        for wid in range(self.num_wire_types):
+            self.wire_variables[wid] += [0] * (2 * n - len(self.wire_variables[wid]))
+        W = self.num_wire_types
+        if circuit_type == "A":
+            new_perm = [(W, 0)] * (W * 2 * n)
+            for i in range(W):
+                for j in range(n):
+                    new_perm[i * 2 * n + j] = self.wire_permutation[i * n + j]
+            self.wire_permutation = new_perm
+        elif circuit_type == "B":
+            self.gates.reverse()
+            for wid in range(self.num_wire_types):
+                self.wire_variables[wid].reverse()
+            self.pub_input_gate_ids = [2 * n - 1 - g
+                                       for g in self.pub_input_gate_ids]
+            new_perm = [(W, 0)] * (W * 2 * n)
+            for i in range(W):
+                for j in range(n):
+                    (wid, gid) = self.wire_permutation[i * n + j]
+                    new_perm[i * 2 * n + 2 * n - 1 - j] = (wid, 2 * n - 1 - gid)
+            self.wire_permutation = new_perm
+        else:
+            raise CircuitError("circuit_type must be 'A' or 'B'")
+        self._compute_extended_id_permutation()
+
+    def merge(self, other: "PlonkCircuit") -> "PlonkCircuit":
+        """Merge a finalized type-A circuit (self) with a type-B circuit."""
+        if self.link_groups or other.link_groups:
+            raise CircuitError("proof linking not supported for merged circuits")
+        if self.eval_domain_size() != other.eval_domain_size():
+            raise CircuitError("mismatched domain sizes")
+        if self.num_inputs() != other.num_inputs():
+            raise CircuitError("mismatched public input counts")
+        if self.pub_input_gate_ids[0] != 0:
+            raise CircuitError("first circuit is not type A")
+        if other.pub_input_gate_ids[0] != other.eval_domain_size() - 1:
+            raise CircuitError("second circuit is not type B")
+        n = self.eval_domain_size() // 2
+        W = self.num_wire_types
+        merged = PlonkCircuit.__new__(PlonkCircuit)
+        merged.__dict__ = {k: v for k, v in self.__dict__.items()
+                           if k not in ("witness", "gates", "wire_variables",
+                                        "pub_input_gate_ids",
+                                        "wire_permutation", "_device_cache")}
+        merged.num_vars = self.num_vars + other.num_vars
+        merged.witness = list(self.witness) + list(other.witness)
+        merged.pub_input_gate_ids = (list(self.pub_input_gate_ids)
+                                     + list(other.pub_input_gate_ids))
+        merged.gates = list(self.gates[:n]) + list(other.gates[n:])
+        merged.wire_variables = [[] for _ in range(GATE_WIDTH + 2)]
+        for i in range(W):
+            col = list(self.wire_variables[i][:n]) + \
+                [v + self.num_vars for v in other.wire_variables[i][n:]]
+            merged.wire_variables[i] = col
+        perm = [(0, 0)] * (W * 2 * n)
+        for i in range(W):
+            for j in range(n):
+                perm[i * 2 * n + j] = self.wire_permutation[i * 2 * n + j]
+                perm[i * 2 * n + n + j] = other.wire_permutation[i * 2 * n + n + j]
+        merged.wire_permutation = perm
+        merged.link_groups = {}
+        merged.link_group_layouts = {}
+        return merged
+
     # -- satisfiability check (reference constraint_system.rs:389-451) ---
     def check_gate(self, gate_id: int, pub_input: int):
         p = self.p
