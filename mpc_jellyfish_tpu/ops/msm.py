@@ -1,29 +1,37 @@
-"""Pippenger multi-scalar multiplication on TPU.
+"""Pippenger multi-scalar multiplication on TPU (v3, suffix-sum form).
 
-TPU-native replacement for arkworks ``VariableBaseMSM::msm_bigint`` - the
-second hot loop of the prover (SURVEY.md §3.1; KZG commit at
+TPU-native replacement for arkworks ``VariableBaseMSM::msm_bigint`` — the
+hot loop of KZG commitment (SURVEY.md §3.1;
 `primitives/src/pcs/univariate_kzg/mod.rs:108-112`).
 
-Design (v2, fully batched):
-  * every (polynomial, window) pair is an independent "job";
-  * jobs are processed as a BATCH axis of the bucket accumulation, so the
-    sequential depth of the whole multi-commitment MSM is
-    R + O(log) steps (R = n/lanes), regardless of how many jobs there are;
-  * bucket accumulation is the O(n) chunked running-sum scan: each of
-    `lanes` lanes owns a contiguous chunk of the digit-sorted points and
-    adds them sequentially; segments that cross lane boundaries are
-    reassembled with a log-depth segmented run-sum and a second scatter.
-  * jobs are grouped into memory-bounded chunks (each job needs its own
-    sorted copy of the points: L*3*4 bytes/point/job).
+Algorithm
+---------
+Signed c-bit windows (buckets halved); per (polynomial, window) "job":
 
-Scalars must be in *normal* (non-Montgomery) form; windows are c <= 16 bits
-(cross-limb digit extraction supported).
+1. sort point indices by bucket index |digit|, DESCENDING (digit-0 and
+   infinity points sink to the tail);
+2. run an *unconditional* EC prefix scan over the sorted points — one fused
+   Pallas kernel holding the Jacobian accumulator in VMEM, streaming the
+   running prefix back to HBM.  No flushes, no scatters, no per-step
+   conditionals beyond a validity select;
+3. use the identity  sum_b b * Bucket_b = sum_{b>=1} T_b  where
+   T_b = (sum of points with bucket index >= b) = the streamed prefix at
+   position cnt_ge(b) - 1 (a searchsorted + gather);
+4. tree-sum the T_b per job, Horner-combine windows.
+
+This replaces the round-1 design (flush streams + TPU scatters) whose XLA
+scatter lowering was pathologically slow.  Everything from digit extraction
+to the window Horner runs inside ONE jit per MSM batch — the per-dispatch
+link latency (~3 ms on remote-attached TPUs) is paid once.
+
+Scalars must be in *normal* (non-Montgomery) form, [Lr, n] 16-bit limbs.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -31,239 +39,92 @@ from . import field as F
 from . import ec as E
 from .field import FieldSpec
 
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# signed window digits
+# ---------------------------------------------------------------------------
+
+def num_windows(spec_r_limbs: int, c: int) -> int:
+    """Signed windows need one extra digit for the final carry."""
+    return (16 * spec_r_limbs + c - 1) // c + 1
+
+
+def signed_window_digits(scalars: jnp.ndarray, c: int):
+    """[k, Lr, n] normal-form limbs -> (bucket [k, W, n] i32, sign bool).
+
+    Digits d_w in [-(2^(c-1)), 2^(c-1)] with sum_w d_w 2^{cw} = scalar.
+    Returns bucket index |d_w| and the sign mask (d_w < 0).
+    """
+    assert c <= 16
+    k, Lr, n = scalars.shape
+    W = num_windows(Lr, c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    s = scalars.astype(I32)
+    pad = jnp.zeros((k, 2, n), dtype=I32)
+    s_pad = jnp.concatenate([s, pad], axis=1)
+
+    buckets, signs = [], []
+    carry = jnp.zeros((k, n), dtype=I32)
+    for w in range(W):
+        # extract digit w across the limb axis (vector over [k, n])
+        bit = c * w
+        j, off = bit // 16, bit % 16
+        d = s_pad[:, j] >> off
+        if off:
+            d = d | (s_pad[:, j + 1] << (16 - off))
+        u = (d & (full - 1)) + carry
+        neg = u >= half          # map [half, full] -> negative / carry
+        carry = neg.astype(I32)
+        dd = jnp.where(neg, u - full, u)
+        buckets.append(jnp.abs(dd))
+        signs.append(dd < 0)
+    return jnp.stack(buckets, axis=1), jnp.stack(signs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# EC helpers shared with the XLA path
+# ---------------------------------------------------------------------------
 
 def _sel_tuple(cond, a, b):
     return tuple(F.select(cond, ai, bi) for ai, bi in zip(a, b))
 
 
-def _roll_neg(x, shift, axis):
-    return jnp.roll(x, -shift, axis=axis)
-
-
-# ---------------------------------------------------------------------------
-# generic EC suffix-cumsum / tree-sum along the LAST axis (any leading dims)
-# ---------------------------------------------------------------------------
-
-def _suffix_cumsum_ec(spec: FieldSpec, pts, log_m: int):
-    """Unsegmented inclusive suffix cumsum with EC adds over [..., m]."""
-    m = pts[0].shape[-1]
-    idx = jnp.arange(m, dtype=jnp.int32)
-
-    def body(carry, shift):
-        pts, = carry
-        shifted = tuple(_roll_neg(t, shift, axis=-1) for t in pts)
-        valid = idx + shift < m
-        summed = E.jac_add(spec, pts, shifted)
-        pts = _sel_tuple(valid, summed, pts)
-        return (pts,), None
-
-    shifts = jnp.asarray([1 << s for s in range(log_m)], dtype=jnp.int32)
-    (pts,), _ = jax.lax.scan(body, (pts,), shifts)
-    return pts
-
-
 def _tree_sum_ec(spec: FieldSpec, pts):
-    """Sum points along the last axis (log-depth, same-shape scan)."""
+    """Sum points along the LAST axis (log-depth)."""
     m = pts[0].shape[-1]
     steps = max(1, (m - 1).bit_length())
     mfull = 1 << steps
     if mfull != m:
         inf = E.jac_infinity(spec, pts[0].shape[1:-1] + (mfull - m,))
         pts = tuple(jnp.concatenate([t, i], axis=-1) for t, i in zip(pts, inf))
-    idx = jnp.arange(mfull, dtype=jnp.int32)
+    idx = jnp.arange(mfull, dtype=I32)
 
     def body(carry, half):
         pts, = carry
-        shifted = tuple(_roll_neg(t, half, axis=-1) for t in pts)
+        shifted = tuple(jnp.roll(t, -half, axis=-1) for t in pts)
         summed = E.jac_add(spec, pts, shifted)
         keep = idx < half
         pts = _sel_tuple(keep, summed, pts)
         return (pts,), None
 
-    halves = jnp.asarray([mfull >> (s + 1) for s in range(steps)], dtype=jnp.int32)
+    halves = jnp.asarray([mfull >> (s + 1) for s in range(steps)], dtype=I32)
     (pts,), _ = jax.lax.scan(body, (pts,), halves)
     return tuple(t[..., 0] for t in pts)
 
 
-# ---------------------------------------------------------------------------
-# digits
-# ---------------------------------------------------------------------------
-
-def _window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
-    """[Lr, n] 16-bit limbs (normal form) -> [W, n] int32 window digits.
-
-    Supports any window width c <= 16 via cross-limb bit extraction.
-    """
-    Lr, n = scalars.shape
-    s = scalars.astype(jnp.int32)
-    if c == 16:
-        return s
-    if c == 8:
-        lo = s & 0xFF
-        hi = s >> 8
-        return jnp.stack([lo, hi], axis=1).reshape(2 * Lr, n)
-    total_bits = 16 * Lr
-    W = (total_bits + c - 1) // c
-    padded = jnp.concatenate([s, jnp.zeros((1, n), dtype=jnp.int32)], axis=0)
-    rows = []
-    for w in range(W):
-        bit = c * w
-        j, off = bit // 16, bit % 16
-        d = (padded[j] >> off) | (padded[j + 1] << (16 - off))
-        rows.append(d & ((1 << c) - 1))
-    return jnp.stack(rows)
-
-
-@functools.partial(jax.jit, static_argnums=1)
-def _window_digits_batch(scalars, c: int):
-    """[k, Lr, n] -> [k, W, n] (cached jit; avoids per-call vmap retraces)."""
-    return jax.vmap(lambda s: _window_digits(s, c))(scalars)
-
-
-def num_windows(spec_r_limbs: int, c: int) -> int:
-    if c == 16:
-        return spec_r_limbs
-    if c == 8:
-        return 2 * spec_r_limbs
-    return (16 * spec_r_limbs + c - 1) // c
-
-
-# ---------------------------------------------------------------------------
-# chunked bucket accumulation (batched over jobs)
-# ---------------------------------------------------------------------------
-
-def _bucket_accumulate_chunked(spec: FieldSpec, pts, d_sorted, c: int, lanes: int):
-    """O(n) bucket accumulation with a job batch axis.
-
-    pts: jacobian tuple [L, J, n_pad] SORTED by digit per job;
-    d_sorted: int32 [J, n_pad].  Padding entries carry digit `nbuckets` and
-    infinity points.  Returns bucket tuple [L, J, nbuckets + 1].
-    """
-    J, n_pad = d_sorted.shape
-    C = lanes
-    R = n_pad // C
-    nbuckets = 1 << c
-    L = spec.num_limbs
-
-    # lane-major chunking: lane owns sorted [lane*R, (lane+1)*R)
-    ids = jnp.moveaxis(d_sorted.reshape(J, C, R), 2, 0)        # [R, J, C]
-    coords = tuple(jnp.moveaxis(t.reshape(L, J, C, R), 3, 0) for t in pts)
-    xs = coords + (ids,)                                       # [R, L, J, C] x3, [R, J, C]
-
-    acc0 = E.jac_infinity(spec, (J, C))
-    curid0 = jnp.full((J, C), -1, dtype=jnp.int32)
-
-    def body(carry, x):
-        acc, cur_id = carry
-        rx, ry, rz, rid = x
-        pt = (rx, ry, rz)
-        same = rid == cur_id
-        added = E.jac_add(spec, acc, pt)
-        acc_new = _sel_tuple(same, added, pt)
-        flush = _sel_tuple(same, E.jac_infinity(spec, (J, C)), acc)
-        return (acc_new, rid), (flush, cur_id)
-
-    (trail_acc, trail_id), (flushes, flush_ids) = jax.lax.scan(
-        body, (acc0, curid0), xs)
-    # flushes: tuple [R, L, J, C]; flush_ids: [R, J, C]
-
-    # --- B1: interior flushes (unique bucket ids per job) -----------------
-    fl = tuple(jnp.moveaxis(t, 0, 3).reshape(L, J, C * R) for t in flushes)
-    fid = jnp.moveaxis(flush_ids, 0, 2).reshape(J, C * R)
-    real = (fid > 0) & (fid < nbuckets) & ~E.jac_is_inf(spec, fl)
-    scatter_idx = jnp.where(real, fid, nbuckets)
-    # flatten the job axis into the scatter index for one global scatter
-    job = jnp.arange(J, dtype=jnp.int32)[:, None]
-    flat_idx = (job * (nbuckets + 1) + scatter_idx).reshape(J * C * R)
-    binf_flat = E.jac_infinity(spec, (J * (nbuckets + 1),))
-    fl_flat = tuple(t.reshape(L, J * C * R) for t in fl)
-    b1 = tuple(b.at[:, flat_idx].set(t, mode="drop")
-               for b, t in zip(binf_flat, fl_flat))
-    b1 = tuple(t.reshape(L, J, nbuckets + 1) for t in b1)
-
-    # --- stitch: segmented backward run-sum over trailing accs ------------
-    lane_idx = jnp.arange(C, dtype=jnp.int32)
-    S = trail_acc
-    shift = 1
-    while shift < C:
-        rolled = tuple(jnp.roll(t, shift, axis=-1) for t in S)
-        rolled_id = jnp.roll(trail_id, shift, axis=-1)
-        ok = (lane_idx >= shift) & (rolled_id == trail_id)
-        added = E.jac_add(spec, S, rolled)
-        S = _sel_tuple(ok, added, S)
-        shift *= 2
-
-    first_id = ids[0]                                          # [J, C]
-    minus1 = jnp.full((J, 1), -1, jnp.int32)
-    prev_trail_id = jnp.concatenate([minus1, trail_id[:, :-1]], axis=1)
-    prev_S = tuple(jnp.roll(t, 1, axis=-1) for t in S)
-
-    carry_ok = ((first_id == prev_trail_id) & (first_id != trail_id)
-                & (first_id > 0) & (first_id < nbuckets) & (lane_idx > 0))
-    carry_idx = jnp.where(carry_ok, first_id, nbuckets)
-
-    next_first = jnp.concatenate(
-        [first_id[:, 1:], jnp.full((J, 1), -2, jnp.int32)], axis=1)
-    bnd_ok = (trail_id != next_first) & (trail_id > 0) & (trail_id < nbuckets)
-    bnd_idx = jnp.where(bnd_ok, trail_id, nbuckets)
-
-    carry_flat = (job * (nbuckets + 1) + carry_idx).reshape(J * C)
-    bnd_flat = (job * (nbuckets + 1) + bnd_idx).reshape(J * C)
-    b2 = tuple(b.at[:, carry_flat].set(t.reshape(L, J * C), mode="drop")
-               for b, t in zip(binf_flat, prev_S))
-    b2 = tuple(b.at[:, bnd_flat].set(t.reshape(L, J * C), mode="drop")
-               for b, t in zip(b2, S))
-    b2 = tuple(t.reshape(L, J, nbuckets + 1) for t in b2)
-
-    return E.jac_add(spec, b1, b2)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def _msm_jobs(spec: FieldSpec, points, digits, c: int, lanes: int):
-    """Batched bucket accumulation + reduction for J jobs.
-
-    points: affine batch (x, y, inf) [L, n]/[n];  digits: [J, n].
-    Returns window sums as a jacobian tuple of [L, J].
-    """
-    J, n = digits.shape
-    nbuckets = 1 << c
-    x, y, inf_mask = points
-    one = F.ones(spec, (n,))
-    zero_z = jnp.where(inf_mask[None, :], F.zeros(spec, (n,)), one)
-
-    n_pad = ((n + lanes - 1) // lanes) * lanes
-    padk = n_pad - n
-    if padk:
-        x = jnp.concatenate([x, F.ones(spec, (padk,))], axis=1)
-        y = jnp.concatenate([y, F.ones(spec, (padk,))], axis=1)
-        zero_z = jnp.concatenate([zero_z, F.zeros(spec, (padk,))], axis=1)
-        digits = jnp.concatenate(
-            [digits, jnp.full((J, padk), nbuckets, jnp.int32)], axis=1)
-
-    # zero digits and infinity points -> dummy bucket (sorts to the tail)
-    d = jnp.where((digits == 0) | F.is_zero(spec, zero_z)[None, :],
-                  nbuckets, digits)
-    order = jnp.argsort(d, axis=1)                       # [J, n_pad]
-    d_sorted = jnp.take_along_axis(d, order, axis=1)
-    pts_sorted = tuple(jnp.take(t, order, axis=1)        # [L, J, n_pad]
-                       for t in (x, y, zero_z))
-    buckets = _bucket_accumulate_chunked(spec, pts_sorted, d_sorted, c, lanes)
-    buckets = tuple(t[..., :nbuckets] for t in buckets)
-    suf = _suffix_cumsum_ec(spec, buckets, c)
-    suf = tuple(t[..., 1:] for t in suf)                 # drop bucket 0
-    return _tree_sum_ec(spec, suf)                       # [L, J]
-
-
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def _combine_windows(spec: FieldSpec, wsums, c: int):
-    """Horner combine over the window axis: wsums jacobian tuple [L, k, W]."""
+    """Horner over windows: wsums jacobian tuple [L, k, W] -> [L, k]."""
     W = wsums[0].shape[-1]
 
     def body(res, w):
         def dbl(_, r):
             return E.jac_double(spec, r)
         res = jax.lax.fori_loop(0, c, dbl, res)
-        wp = tuple(t[..., W - 1 - w] for t in wsums)     # [L, k]
+        wp = tuple(t[..., W - 1 - w] for t in wsums)
         return E.jac_add(spec, res, wp), None
 
     init = E.jac_infinity(spec, wsums[0].shape[1:-1])
@@ -271,75 +132,370 @@ def _combine_windows(spec: FieldSpec, wsums, c: int):
     return res
 
 
+def _exclusive_lane_prefix(spec: FieldSpec, totals):
+    """Exclusive EC prefix along the last axis (Hillis–Steele)."""
+    C = totals[0].shape[-1]
+    lane = jnp.arange(C, dtype=I32)
+    # shift right by one, lane 0 -> identity
+    shifted = tuple(jnp.roll(t, 1, axis=-1) for t in totals)
+    inf = E.jac_infinity(spec, totals[0].shape[1:])
+    pref = _sel_tuple(lane >= 1, shifted, inf)
+    sh = 1
+    while sh < C:
+        rolled = tuple(jnp.roll(t, sh, axis=-1) for t in pref)
+        added = E.jac_add(spec, pref, rolled)
+        pref = _sel_tuple(lane >= sh + 1, added, pref)
+        sh *= 2
+    return pref
+
+
+# ---------------------------------------------------------------------------
+# prefix-scan backends
+# ---------------------------------------------------------------------------
+
+def _scan_stream_xla(spec: FieldSpec, xs, ys, valid):
+    """Pure-JAX prefix scan.  xs, ys: [L, R, J, C]; valid: [R, J, C] bool.
+    Returns stream (X, Y, Z) each [L, R, J, C]."""
+    J, C = xs.shape[2], xs.shape[3]
+    acc0 = E.jac_infinity(spec, (J, C))
+
+    def body(acc, inp):
+        x, y, v = inp
+        acc = E.jac_madd(spec, acc, (x, y, ~v))
+        return acc, acc
+
+    xs_t = jnp.moveaxis(xs, 1, 0)   # [R, L, J, C]
+    ys_t = jnp.moveaxis(ys, 1, 0)
+    _, stream = jax.lax.scan(body, acc0, (xs_t, ys_t, valid))
+    # stream: tuple of [R, L, J, C] -> [L, R, J, C]
+    return tuple(jnp.moveaxis(t, 1, 0) for t in stream)
+
+
+def _madd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L, acc, x2, y2, valid):
+    """Complete mixed add on limb lists; every operand is a (JB, C) u32.
+
+    Returns the new accumulator (lists X, Y, Z)."""
+    from .pallas_field import _mm_vecs, _add_vecs, _sub_vecs
+
+    def mm(a, b):
+        return _mm_vecs(P_LIMBS, N0INV, L, a, b)
+
+    def addv(a, b):
+        return _add_vecs(P_LIMBS, L, a, b)
+
+    def subv(a, b):
+        return _sub_vecs(P_LIMBS, L, a, b)
+
+    def iszero(a):
+        z = (a[0] == 0)
+        for t in a[1:]:
+            z = z & (t == 0)
+        return z
+
+    def selv(cond, a, b):
+        return [jnp.where(cond, ai, bi) for ai, bi in zip(a, b)]
+
+    X1, Y1, Z1 = acc
+    # mixed addition (Jacobian += affine), a = 0 curve
+    Z1Z1 = mm(Z1, Z1)
+    U2 = mm(x2, Z1Z1)
+    T = mm(Z1Z1, Z1)
+    S2 = mm(y2, T)
+    H = subv(U2, X1)
+    Rr = subv(S2, Y1)
+    HH = mm(H, H)
+    HHH = mm(H, HH)
+    V = mm(X1, HH)
+    RR = mm(Rr, Rr)
+    X3 = subv(subv(RR, HHH), addv(V, V))
+    Y3 = subv(mm(Rr, subv(V, X3)), mm(Y1, HHH))
+    Z3 = mm(Z1, H)
+
+    # doubling path (acc == point): dbl-2009-l, a = 0
+    A = mm(X1, X1)
+    B = mm(Y1, Y1)
+    Cc = mm(B, B)
+    XB = addv(X1, B)
+    T2 = mm(XB, XB)
+    D = subv(subv(T2, A), Cc)
+    D = addv(D, D)
+    Ee = addv(addv(A, A), A)
+    Ff = mm(Ee, Ee)
+    X3d = subv(Ff, addv(D, D))
+    C8 = addv(Cc, Cc)
+    C8 = addv(C8, C8)
+    C8 = addv(C8, C8)
+    Y3d = subv(mm(Ee, subv(D, X3d)), C8)
+    YZ = mm(Y1, Z1)
+    Z3d = addv(YZ, YZ)
+
+    h0 = iszero(H)
+    r0 = iszero(Rr)
+    acc_inf = iszero(Z1)
+    one = [jnp.full_like(x2[0], np.uint32(v)) for v in ONE_MONT]
+    zero = [jnp.zeros_like(x2[0]) for _ in range(L)]
+
+    newX = selv(h0 & r0, X3d, X3)
+    newY = selv(h0 & r0, Y3d, Y3)
+    newZ = selv(h0 & r0, Z3d, Z3)
+    # inverse points -> infinity
+    newX = selv(h0 & ~r0, one, newX)
+    newY = selv(h0 & ~r0, one, newY)
+    newZ = selv(h0 & ~r0, zero, newZ)
+    # accumulator was infinity -> take the point
+    newX = selv(acc_inf, x2, newX)
+    newY = selv(acc_inf, y2, newY)
+    newZ = selv(acc_inf, one, newZ)
+    # invalid point -> keep accumulator
+    newX = selv(valid, newX, X1)
+    newY = selv(valid, newY, Y1)
+    newZ = selv(valid, newZ, Z1)
+    return newX, newY, newZ
+
+
+def _make_scan_kernel(spec: FieldSpec, RB: int):
+    L = spec.num_limbs
+    P_LIMBS = tuple(np.uint32(v) for v in spec.p_limbs)
+    N0INV = np.uint32(spec.n0inv)
+    ONE_MONT = tuple(np.uint32(v) for v in spec.mont_one_np)
+
+    def kernel(xs_ref, ys_ref, val_ref, ox_ref, oy_ref, oz_ref,
+               accx, accy, accz):
+        import jax.experimental.pallas as pl
+        r_blk = pl.program_id(1)
+
+        @pl.when(r_blk == 0)
+        def _init():
+            for i in range(L):
+                accx[i] = jnp.full_like(accx[i], np.uint32(ONE_MONT[i]))
+                accy[i] = jnp.full_like(accy[i], np.uint32(ONE_MONT[i]))
+                accz[i] = jnp.zeros_like(accz[i])
+
+        for rb in range(RB):
+            x2 = [xs_ref[i, rb] for i in range(L)]
+            y2 = [ys_ref[i, rb] for i in range(L)]
+            valid = val_ref[rb] > 0
+            acc = ([accx[i] for i in range(L)],
+                   [accy[i] for i in range(L)],
+                   [accz[i] for i in range(L)])
+            nx, ny, nz = _madd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L,
+                                           acc, x2, y2, valid)
+            for i in range(L):
+                accx[i] = nx[i]
+                accy[i] = ny[i]
+                accz[i] = nz[i]
+                ox_ref[i, rb] = nx[i]
+                oy_ref[i, rb] = ny[i]
+                oz_ref[i, rb] = nz[i]
+
+    return kernel
+
+
+def _scan_stream_pallas(spec: FieldSpec, xs, ys, valid, RB: int = 2,
+                        JB: int = 8):
+    """Fused Pallas prefix scan.  Shapes as `_scan_stream_xla`."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    L, R, J, C = xs.shape
+    assert R % RB == 0 and J % JB == 0
+    kernel = _make_scan_kernel(spec, RB)
+    grid = (J // JB, R // RB)
+    blk = lambda j, r: (0, r, j, 0)
+    vblk = lambda j, r: (r, j, 0)
+    out_shape = [jax.ShapeDtypeStruct((L, R, J, C), U32)] * 3
+    ox, oy, oz = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, RB, JB, C), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, RB, JB, C), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, JB, C), vblk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((L, RB, JB, C), blk, memory_space=pltpu.VMEM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((L, JB, C), U32),
+            pltpu.VMEM((L, JB, C), U32),
+            pltpu.VMEM((L, JB, C), U32),
+        ],
+    )(xs, ys, valid.astype(U32))
+    return ox, oy, oz
+
+
+# ---------------------------------------------------------------------------
+# per-chunk job processing
+# ---------------------------------------------------------------------------
+
+def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
+                   c: int, C: int, use_pallas: bool):
+    """Window sums for a chunk of jobs.
+
+    x: [L, n]; y_all: [L, 2n] (y ++ -y); inf_mask: [n] bool;
+    bucket: [Jc, n] i32 in [0, 2^(c-1)]; sign: [Jc, n] bool.
+    Returns jacobian tuple of [L, Jc]."""
+    L = spec.num_limbs
+    Jc, n = bucket.shape
+    B = 1 << (c - 1)
+    R = n // C
+
+    key = jnp.where(inf_mask[None, :], 0, bucket)
+    # pack the sign bit into the sort value: one sort carries both the
+    # permutation and the per-point negation flag
+    iota = jnp.arange(n, dtype=I32)[None, :] * 2
+    packed = jnp.broadcast_to(iota, (Jc, n)) + sign.astype(I32)
+    kneg, val = jax.lax.sort_key_val(-key, packed, dimension=1)
+    b_desc = -kneg                                        # [Jc, n] descending
+
+    idx = val >> 1
+    y_idx = idx + (val & 1) * n
+    xs = jnp.take(x, idx, axis=1)                         # [L, Jc, n]
+    ys = jnp.take(y_all, y_idx, axis=1)
+    valid = b_desc > 0                                    # [Jc, n]
+
+    # layout [L, R, Jc, C]: sorted index i = l*R + r  (lane-major chunks)
+    xs = jnp.moveaxis(xs.reshape(L, Jc, C, R), 3, 1)
+    ys = jnp.moveaxis(ys.reshape(L, Jc, C, R), 3, 1)
+    vv = jnp.moveaxis(valid.reshape(Jc, C, R), 2, 0)      # [R, Jc, C]
+
+    if use_pallas:
+        SX, SY, SZ = _scan_stream_pallas(spec, xs, ys, vv)
+    else:
+        SX, SY, SZ = _scan_stream_xla(spec, xs, ys, vv)
+    stream = (SX, SY, SZ)
+
+    # exclusive prefix of lane totals along C
+    totals = tuple(t[:, R - 1] for t in stream)           # [L, Jc, C]
+    blockpref = _exclusive_lane_prefix(spec, totals)
+
+    # positions: cnt_ge(b) for b = 1..B
+    bb = -jnp.arange(1, B + 1, dtype=I32)                 # search keys (neg)
+    cnt = jax.vmap(lambda a: jnp.searchsorted(a, bb, side="right"))(kneg)
+    have = cnt > 0                                        # [Jc, B]
+    i_b = jnp.maximum(cnt - 1, 0)
+    l_b = i_b // R
+    r_b = i_b % R
+
+    job = jnp.arange(Jc, dtype=I32)[:, None]
+    flat_stream = r_b * (Jc * C) + job * C + l_b          # [Jc, B]
+    flat_pref = job * C + l_b
+
+    S_in = tuple(jnp.take(t.reshape(L, R * Jc * C), flat_stream.reshape(-1),
+                          axis=1).reshape(L, Jc, B) for t in stream)
+    S_bp = tuple(jnp.take(t.reshape(L, Jc * C), flat_pref.reshape(-1),
+                          axis=1).reshape(L, Jc, B) for t in blockpref)
+    T = E.jac_add(spec, S_in, S_bp)                       # [L, Jc, B]
+    inf = E.jac_infinity(spec, (Jc, B))
+    T = _sel_tuple(have, T, inf)
+    return _tree_sum_ec(spec, T)                          # [L, Jc]
+
+
+def _pick_c(n: int) -> int:
+    if n >= (1 << 17):
+        return 14
+    if n >= (1 << 12):
+        return 13
+    if n >= (1 << 8):
+        return 10
+    return 6
+
+
+def _pick_C(n_pad: int) -> int:
+    # lanes per job in the scan kernel: C*R = n_pad, C multiple of 128
+    if n_pad >= (1 << 16):
+        return 512
+    return max(128, n_pad // 128)
+
+
+def _pick_chunk(n_pad: int, J: int) -> int:
+    # stream memory: 3 coords x L x 4B x n_pad per job; target <= ~0.8 GB
+    per_job = 3 * 16 * 4 * n_pad
+    jc = max(8, int(8e8 // per_job) // 8 * 8)
+    jc = min(jc, (J + 7) // 8 * 8)
+    return jc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _msm_batch_jit(spec: FieldSpec, points, scalars, c: int, C: int,
+                   use_pallas: bool):
+    """scalars: [k, Lr, n] normal form.  Returns jacobian tuple [L, k]."""
+    x, y, inf_mask = points
+    k, Lr, n = scalars.shape
+    L = spec.num_limbs
+    W = num_windows(Lr, c)
+    R0 = n // C if n % C == 0 else n // C + 1
+    n_pad = C * max(R0, 1)
+    if n_pad != n:
+        pad = n_pad - n
+        x = jnp.concatenate([x, F.ones(spec, (pad,))], axis=1)
+        y = jnp.concatenate([y, F.ones(spec, (pad,))], axis=1)
+        inf_mask = jnp.concatenate(
+            [inf_mask, jnp.ones((pad,), dtype=jnp.bool_)])
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((k, Lr, pad), dtype=scalars.dtype)], axis=2)
+
+    bucket, sign = signed_window_digits(scalars, c)       # [k, W, n_pad]
+    J = k * W
+    bucket = bucket.reshape(J, n_pad)
+    sign = sign.reshape(J, n_pad)
+
+    Jc = _pick_chunk(n_pad, J)
+    J_pad = (J + Jc - 1) // Jc * Jc
+    if J_pad != J:
+        bucket = jnp.concatenate(
+            [bucket, jnp.zeros((J_pad - J, n_pad), dtype=I32)], axis=0)
+        sign = jnp.concatenate(
+            [sign, jnp.zeros((J_pad - J, n_pad), dtype=jnp.bool_)], axis=0)
+
+    y_all = jnp.concatenate([y, F.neg(spec, y)], axis=1)  # [L, 2 n_pad]
+
+    nchunks = J_pad // Jc
+    bucket = bucket.reshape(nchunks, Jc, n_pad)
+    sign = sign.reshape(nchunks, Jc, n_pad)
+
+    if nchunks == 1:
+        wsums1 = _msm_job_chunk(spec, x, y_all, inf_mask, bucket[0], sign[0],
+                                c, C, use_pallas)
+        stacked = tuple(t[None] for t in wsums1)          # [1, L, Jc]
+    else:
+        def body(_, bs):
+            b_, s_ = bs
+            out = _msm_job_chunk(spec, x, y_all, inf_mask, b_, s_, c, C,
+                                 use_pallas)
+            return 0, out
+
+        _, stacked = jax.lax.scan(body, 0, (bucket, sign))
+        # stacked: tuple of [nchunks, L, Jc]
+
+    flat = tuple(jnp.moveaxis(t, 0, 1).reshape(L, J_pad)[:, :J]
+                 for t in stacked)
+    wsums = tuple(t.reshape(L, k, W) for t in flat)
+    return _combine_windows(spec, wsums, c)
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
-
-def _pick_params(n: int, j_jobs: int = 1):
-    """Window width c, lane count, and job-chunk size for an MSM of size n."""
-    if n >= (1 << 18):
-        c = 13
-    elif n >= (1 << 12):
-        c = 10
-    else:
-        c = 8
-    lanes = 1 << min(12, max(3, n.bit_length() - 3))
-    # memory cap for sorted point copies: ~1.5 GB of uint32 limbs
-    per_job_bytes = 3 * 4 * 32 * max(n, 1)
-    job_chunk = max(1, min(64, int(1.5e9 // per_job_bytes)))
-    return c, lanes, job_chunk
-
 
 def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
               lanes: int | None = None):
     """k MSMs over SHARED bases: sum_i scalars[k][i] * points_i for each k.
 
     scalars_list: list of [Lr, n] normal-form limb tensors (or [k, Lr, n]).
-    Returns a jacobian tuple of [L, k].
+    Returns a jacobian tuple of [L, k].  `lanes` is accepted for
+    compatibility and ignored (the v3 kernel auto-tiles).
     """
+    del lanes
     if isinstance(scalars_list, (list, tuple)):
-        scalars = jnp.stack(list(scalars_list))          # [k, Lr, n]
+        scalars = jnp.stack(list(scalars_list))
     else:
         scalars = scalars_list
     k, Lr, n = scalars.shape
-    c_auto, lanes_auto, job_chunk = _pick_params(n, k)
-    c = c_auto if c is None else c
-    lanes = lanes_auto if lanes is None else lanes
-    W = num_windows(Lr, c)
-
-    import os, sys, time
-    trace = os.environ.get("MPC_JELLYFISH_TPU_TRACE", "") == "1"
-    t0 = time.time()
-    digits = _window_digits_batch(scalars, c).reshape(k * W, n)
-    if trace:
-        jax.block_until_ready(digits)
-        print(f"        [msm] digits: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
-        t0 = time.time()
-
-    # pad the job axis to a multiple of job_chunk with dummy (zero-digit)
-    # jobs: every chunk then has the SAME shape -> one compiled executable
-    J = k * W
-    J_pad = ((J + job_chunk - 1) // job_chunk) * job_chunk
-    if J_pad != J:
-        digits = jnp.concatenate(
-            [digits, jnp.zeros((J_pad - J, n), jnp.int32)], axis=0)
-    outs = []
-    for start in range(0, J_pad, job_chunk):
-        chunk = digits[start:start + job_chunk]
-        outs.append(_msm_jobs(spec, points, chunk, c, lanes))
-        if trace:
-            jax.block_until_ready(outs[-1])
-            print(f"        [msm] jobs[{start}:{start+job_chunk}]: {time.time()-t0:.2f}s",
-                  file=sys.stderr, flush=True)
-            t0 = time.time()
-    wsums = tuple(jnp.concatenate([o[i] for o in outs], axis=1)[:, :J]
-                  for i in range(3))                     # [L, k*W]
-    wsums = tuple(t.reshape(spec.num_limbs, k, W) for t in wsums)
-    res = _combine_windows(spec, wsums, c)
-    if trace:
-        jax.block_until_ready(res)
-        print(f"        [msm] combine: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
-    return res
+    if c is None:
+        c = _pick_c(n)
+    C = _pick_C(((n + 127) // 128) * 128)
+    use_pallas = F._use_pallas() and n >= (1 << 11)
+    return _msm_batch_jit(spec, points, scalars, c, C, use_pallas)
 
 
 def msm(spec: FieldSpec, points, scalars: jnp.ndarray, c: int | None = None,
