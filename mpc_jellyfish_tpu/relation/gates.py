@@ -121,25 +121,29 @@ def MuxGate(p):
 
 # -- ECC gates (reference gates/ecc.rs) --------------------------------------
 
-def EdwardsCurveEquationGate(p, d):
-    """x*y constraint for twisted Edwards curve: -x^2 + y^2 - 1 - d x^2 y^2 = 0.
+def EdwardsCurveEquationGate(p, a, d):
+    """a x^2 + y^2 = 1 + d x^2 y^2 on wires (x, x, y, y, one).
 
-    Wires (x, x, y, y, o).  Reference gates/ecc.rs:27.
+    Gate eq: q_c + q_mul0 x^2 + q_mul1 y^2 + q_ecc x^2 y^2 * 1 = 0 with
+    q_mul = (-a, -1), q_c = 1, q_ecc = d (reference gates/ecc.rs:27-51).
     """
-    return Gate("Edwards Curve Equation Gate",
-                q_mul=(p - 1, 1), q_ecc=(p - d) % p, q_c=p - 1, q_o=0)
+    return Gate("Curve Equation Gate",
+                q_mul=((p - a) % p, p - 1), q_ecc=d % p, q_c=1, q_o=0)
 
 
-def CurvePointXAdditionGate(p, d):
-    """TE point addition x-coord: reference gates/ecc.rs:51."""
-    return Gate("Curve Point X Coordinate Addition Gate",
-                q_mul=(1, 1), q_ecc=d % p, q_o=1)
-
-
-def CurvePointYAdditionGate(p, d):
-    """TE point addition y-coord: reference gates/ecc.rs:79."""
-    return Gate("Curve Point Y Coordinate Addition Gate",
+def CurvePointXAdditionGate(p, a, d):
+    """TE addition x-coord on wires (x1, y2, x2, y1, x3):
+    x1 y2 + x2 y1 - d x1 x2 y1 y2 x3 = x3 (reference gates/ecc.rs:54-78)."""
+    del a
+    return Gate("Point Addition X-coordinate Gate",
                 q_mul=(1, 1), q_ecc=(p - d) % p, q_o=1)
+
+
+def CurvePointYAdditionGate(p, a, d):
+    """TE addition y-coord on wires (x1, x2, y1, y2, y3):
+    -a x1 x2 + y1 y2 + d x1 x2 y1 y2 y3 = y3 (reference gates/ecc.rs:81-104)."""
+    return Gate("Point Addition Y-coordinate Gate",
+                q_mul=((p - a) % p, 1), q_ecc=d % p, q_o=1)
 
 
 def QuaternaryPointSelectXGate(p, x1, x2, x3):

@@ -1,0 +1,272 @@
+"""Gadget library tests: cmp, ECC, in-circuit MSM, emulated field, mod_arith.
+
+Mirrors the reference test style (relation/src/gadgets/*): build circuit ->
+check satisfiability with a good witness -> corrupt witness -> expect failure.
+All host-side (no JAX compile), so these are fast.
+"""
+
+import random
+
+import pytest
+
+from mpc_jellyfish_tpu.curves import BN254
+import mpc_jellyfish_tpu.relation.gadgets  # noqa: F401 (installs methods)
+from mpc_jellyfish_tpu.relation.circuit import PlonkCircuit, CircuitError
+from mpc_jellyfish_tpu.relation.gadgets.mod_arith import FpElem, FpElemVar
+from mpc_jellyfish_tpu.relation.gadgets.emulated import bn254_fq_over_fr
+from mpc_jellyfish_tpu.utils.te_curve import BABY_JUBJUB as JUB
+
+FR = BN254.fr
+P = FR.p
+HALF = (P - 1) // 2
+
+
+class TestCmp:
+    CASES = [(5, 5), (1, 2), (HALF + 1, 2), (HALF + 1, P - 2), (P - 3, P - 2),
+             (0, HALF)]
+
+    def test_is_cmp(self):
+        for a, b in self.CASES:
+            cs = PlonkCircuit(FR)
+            va, vb = cs.create_variable(a), cs.create_variable(b)
+            assert cs.witness_of(int(cs.is_lt(va, vb))) == int(a < b)
+            assert cs.witness_of(int(cs.is_leq(va, vb))) == int(a <= b)
+            assert cs.witness_of(int(cs.is_gt(va, vb))) == int(a > b)
+            assert cs.witness_of(int(cs.is_geq(va, vb))) == int(a >= b)
+            cs.check_circuit_satisfiability([])
+
+    def test_is_cmp_constant(self):
+        for a, b in self.CASES:
+            cs = PlonkCircuit(FR)
+            va = cs.create_variable(a)
+            assert cs.witness_of(int(cs.is_lt_constant(va, b))) == int(a < b)
+            assert cs.witness_of(int(cs.is_gt_constant(va, b))) == int(a > b)
+            cs.check_circuit_satisfiability([])
+
+    def test_enforce_cmp(self):
+        for a, b in self.CASES:
+            cs = PlonkCircuit(FR)
+            va, vb = cs.create_variable(a), cs.create_variable(b)
+            cs.enforce_lt(va, vb)
+            if a < b:
+                cs.check_circuit_satisfiability([])
+            else:
+                with pytest.raises(CircuitError):
+                    cs.check_circuit_satisfiability([])
+
+    def test_enforce_geq_negative(self):
+        cs = PlonkCircuit(FR)
+        va, vb = cs.create_variable(3), cs.create_variable(9)
+        cs.enforce_geq(va, vb)
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
+
+
+class TestEcc:
+    def test_on_curve_and_add(self):
+        rng = random.Random(11)
+        cs = PlonkCircuit(FR)
+        g = JUB.gen
+        h = JUB.mul(g, rng.randrange(2, JUB.order))
+        vg = cs.create_point_variable(g)
+        vh = cs.create_point_variable(h)
+        cs.enforce_on_curve(JUB, vg)
+        cs.enforce_on_curve(JUB, vh)
+        vsum = cs.ecc_add(JUB, vg, vh)
+        assert cs.point_witness(vsum) == JUB.add(g, h)
+        cs.check_circuit_satisfiability([])
+        # corrupt: claim a different sum
+        cs.witness[vsum.x] = (cs.witness[vsum.x] + 1) % P
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
+
+    def test_not_on_curve_rejected(self):
+        cs = PlonkCircuit(FR)
+        bad = cs.create_point_variable((1, 1))
+        cs.enforce_on_curve(JUB, bad)
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
+
+    def test_neutral_and_select(self):
+        cs = PlonkCircuit(FR)
+        pv = cs.create_point_variable((0, 1))
+        qv = cs.create_point_variable(JUB.gen)
+        assert cs.witness_of(int(cs.is_neutral_point(pv))) == 1
+        assert cs.witness_of(int(cs.is_neutral_point(qv))) == 0
+        b = cs.create_boolean_variable(1)
+        sel = cs.binary_point_vars_select(b, pv, qv)
+        assert cs.point_witness(sel) == JUB.gen
+        eq = cs.is_point_equal(sel, qv)
+        assert cs.witness_of(int(eq)) == 1
+        inv = cs.inverse_point(qv)
+        assert cs.point_witness(inv) == JUB.neg(JUB.gen)
+        cs.check_circuit_satisfiability([])
+
+    def test_fixed_base_scalar_mul(self):
+        rng = random.Random(7)
+        k = rng.randrange(JUB.order)
+        cs = PlonkCircuit(FR)
+        vk = cs.create_variable(k)
+        out = cs.fixed_base_scalar_mul(JUB, vk, JUB.gen)
+        assert cs.point_witness(out) == JUB.mul(JUB.gen, k)
+        cs.check_circuit_satisfiability([])
+
+    def test_variable_base_scalar_mul_naive(self):
+        rng = random.Random(8)
+        k = rng.randrange(JUB.order)
+        cs = PlonkCircuit(FR)
+        base = cs.create_point_variable(JUB.gen)
+        vk = cs.create_variable(k)
+        out = cs.variable_base_scalar_mul(JUB, vk, base)
+        assert cs.point_witness(out) == JUB.mul(JUB.gen, k)
+        cs.check_circuit_satisfiability([])
+
+    def test_msm_pippenger_lookup(self):
+        rng = random.Random(9)
+        cs = PlonkCircuit(FR, ultra_plonk=True, range_bit_len=8)
+        pts = [JUB.mul(JUB.gen, rng.randrange(2, JUB.order)) for _ in range(3)]
+        ks = [rng.randrange(JUB.order) for _ in range(3)]
+        bases = [cs.create_point_variable(p) for p in pts]
+        scalars = [cs.create_variable(k) for k in ks]
+        out = cs.msm_gadget(JUB, bases, scalars)
+        want = (0, 1)
+        for p, k in zip(pts, ks):
+            want = JUB.add(want, JUB.mul(p, k))
+        assert cs.point_witness(out) == want
+        cs.check_circuit_satisfiability([])
+        # corrupting the result must break it
+        cs.witness[out.y] = (cs.witness[out.y] + 1) % P
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
+
+
+class TestEmulated:
+    def test_mul_add_sub(self):
+        rng = random.Random(3)
+        cfg = bn254_fq_over_fr()
+        q = cfg.modulus
+        a, b = rng.randrange(q), rng.randrange(q)
+        cs = PlonkCircuit(FR)
+        va = cs.create_emulated_variable(cfg, a)
+        vb = cs.create_emulated_variable(cfg, b)
+        assert cs.emulated_witness(cs.emulated_mul(va, vb)) == a * b % q
+        assert cs.emulated_witness(cs.emulated_add(va, vb)) == (a + b) % q
+        assert cs.emulated_witness(cs.emulated_sub(va, vb)) == (a - b) % q
+        assert cs.emulated_witness(cs.emulated_mul_constant(va, b)) == a * b % q
+        assert cs.emulated_witness(cs.emulated_add_constant(va, b)) == (a + b) % q
+        assert cs.emulated_witness(cs.emulated_sub_constant(va, b)) == (a - b) % q
+        cs.check_circuit_satisfiability([])
+
+    def test_mul_bad_witness_rejected(self):
+        cfg = bn254_fq_over_fr()
+        q = cfg.modulus
+        cs = PlonkCircuit(FR)
+        va = cs.create_emulated_variable(cfg, 12345)
+        vb = cs.create_emulated_variable(cfg, 6789)
+        vc = cs.emulated_mul(va, vb)
+        cs.witness[vc.limbs[0]] = (cs.witness[vc.limbs[0]] + 1) % P
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
+
+    def test_select_equal_zero(self):
+        cfg = bn254_fq_over_fr()
+        cs = PlonkCircuit(FR)
+        va = cs.create_emulated_variable(cfg, 111)
+        vb = cs.create_emulated_variable(cfg, 222)
+        b = cs.create_boolean_variable(1)
+        sel = cs.conditional_select_emulated(b, va, vb)
+        assert cs.emulated_witness(sel) == 222
+        assert cs.witness_of(int(cs.is_emulated_var_equal(sel, vb))) == 1
+        assert cs.witness_of(int(cs.is_emulated_var_zero(va))) == 0
+        z = cs.create_emulated_variable(cfg, 0)
+        assert cs.witness_of(int(cs.is_emulated_var_zero(z))) == 1
+        cs.check_circuit_satisfiability([])
+
+
+class TestModArith:
+    M = 80
+    T_MOD = (1 << 160) - 47
+
+    def _mk(self):
+        cs = PlonkCircuit(FR, ultra_plonk=True, range_bit_len=16)
+        p_elem = FpElem.new(self.T_MOD, self.M, P.bit_length())
+        return cs, p_elem
+
+    def test_mod_ops(self):
+        rng = random.Random(5)
+        cs, p_elem = self._mk()
+        t = self.T_MOD
+        x_val, y_val = rng.randrange(t), rng.randrange(t)
+        x = FpElemVar.new_unchecked(cs, cs.create_variable(x_val), self.M)
+        y = FpElemVar.new_unchecked(cs, cs.create_variable(y_val), self.M)
+        assert cs.mod_add(x, y, p_elem).witness(cs) == (x_val + y_val) % t
+        z = cs.mod_mul(x, y, p_elem)
+        assert z.witness(cs) == x_val * y_val % t
+        yc = FpElem.new(y_val, self.M, P.bit_length())
+        assert cs.mod_mul_constant(x, yc, p_elem).witness(cs) == x_val * y_val % t
+        assert cs.mod_add_constant(x, yc, p_elem).witness(cs) == (x_val + y_val) % t
+        assert cs.mod_negate(x, t).witness(cs) == (t - x_val) % t
+        cs.check_circuit_satisfiability([])
+        cs.witness[z.v1] = (cs.witness[z.v1] + 1) % P
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
+
+    def test_non_native_powers(self):
+        rng = random.Random(6)
+        cs, p_elem = self._mk()
+        t = self.T_MOD
+        x_val = rng.randrange(t)
+        x = FpElemVar.new_unchecked(cs, cs.create_variable(x_val), self.M)
+        assert cs.non_native_power_5_gen(t, x).witness(cs) == pow(x_val, 5, t)
+        assert cs.non_native_power_11_gen(t, x).witness(cs) == pow(x_val, 11, t)
+        lin = cs.non_native_linear_gen(
+            t, [x], [FpElem.new(3, self.M, P.bit_length())],
+            FpElem.new(7, self.M, P.bit_length()))
+        assert lin.witness(cs) == (3 * x_val + 7) % t
+        cs.check_circuit_satisfiability([])
+
+
+class TestArithExtras:
+    def test_power_11(self):
+        rng = random.Random(4)
+        x = rng.randrange(P)
+        cs = PlonkCircuit(FR)
+        vx = cs.create_variable(x)
+        assert cs.witness_of(cs.power_11_gen(vx)) == pow(x, 11, P)
+        v11 = cs.create_variable(pow(x, 11, P))
+        cs.power_11_gate(vx, v11)
+        cs.check_circuit_satisfiability([])
+
+    def test_truncate(self):
+        rng = random.Random(5)
+        x = rng.randrange(P)
+        cs = PlonkCircuit(FR, ultra_plonk=True, range_bit_len=16)
+        vx = cs.create_variable(x)
+        vt = cs.truncate(vx, 100)
+        assert cs.witness_of(vt) == x % (1 << 100)
+        cs.check_circuit_satisfiability([])
+
+    def test_truncate_requires_lookup(self):
+        cs = PlonkCircuit(FR)
+        vx = cs.create_variable(5)
+        with pytest.raises(CircuitError):
+            cs.truncate(vx, 100)
+
+
+def test_variable_independence():
+    """Two satisfying assignments must give identical sigma polynomials
+    (reference relation/src/gadgets/mod.rs:24-42)."""
+    def build(a, b):
+        cs = PlonkCircuit(FR)
+        va, vb = cs.create_variable(a), cs.create_variable(b)
+        cs.is_lt(va, vb)
+        out = cs.mul(va, vb)
+        cs.ecc_add(JUB, cs.create_point_variable(JUB.gen),
+                   cs.create_point_variable(JUB.mul(JUB.gen, a % 97 + 2)))
+        cs.finalize_for_arithmetization()
+        return cs
+
+    c1 = build(3, 5)
+    c2 = build(7, 2)
+    assert c1.eval_domain_size() == c2.eval_domain_size()
+    assert c1.extended_permutation() == c2.extended_permutation()
