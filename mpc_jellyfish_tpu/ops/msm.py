@@ -495,7 +495,13 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
         c = _pick_c(n)
     C = _pick_C(((n + 127) // 128) * 128)
     use_pallas = F._use_pallas() and n >= (1 << 11)
-    return _msm_batch_jit(spec, points, scalars, c, C, use_pallas)
+    from ..utils.aot_cache import cached_jit
+    key = f"msm_batch-{spec.name}-n{n}-k{k}-c{c}-C{C}-p{int(use_pallas)}"
+    fn = cached_jit(
+        key,
+        lambda pts, sc: _msm_batch_jit(spec, pts, sc, c, C, use_pallas),
+        points, scalars)
+    return fn(points, scalars)
 
 
 def msm(spec: FieldSpec, points, scalars: jnp.ndarray, c: int | None = None,

@@ -228,18 +228,30 @@ def _intt_jit(domain: Domain, evals, twiddles, bitrev):
     return F.mul_const(domain.spec, y, domain.n_inv)
 
 
+def _cached(name, domain, fn, *args):
+    from ..utils.aot_cache import cached_jit
+    leaves = jax.tree_util.tree_leaves(args)
+    shapes = "-".join("x".join(map(str, a.shape)) for a in leaves)
+    key = f"{name}-{domain.spec.name}-n{domain.n}-{shapes}"
+    return cached_jit(key, fn, *args)(*args)
+
+
 def ntt(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT: coefficients -> evaluations on the domain (natural order)."""
     if domain.n == 1:
         return coeffs
-    return _ntt_jit(domain, coeffs, domain.twiddles_fwd, domain.bitrev)
+    return _cached("ntt", domain,
+                   lambda c, tw, br: _ntt_jit(domain, c, tw, br),
+                   coeffs, domain.twiddles_fwd, domain.bitrev)
 
 
 def intt(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT: evaluations -> coefficients."""
     if domain.n == 1:
         return evals
-    return _intt_jit(domain, evals, domain.twiddles_inv, domain.bitrev)
+    return _cached("intt", domain,
+                   lambda e, tw, br: _intt_jit(domain, e, tw, br),
+                   evals, domain.twiddles_inv, domain.bitrev)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -263,9 +275,13 @@ def _coset_intt_jit(domain: Domain, evals, pows_inv, twiddles, bitrev):
 
 def coset_ntt(domain: Domain, coeffs: jnp.ndarray, table: CosetTable) -> jnp.ndarray:
     """Evaluate poly on the coset g*H: NTT(coeff_j * g^j), natural order."""
-    return _coset_ntt_jit(domain, coeffs, table.pows, domain.twiddles_fwd, domain.bitrev)
+    return _cached("coset_ntt", domain,
+                   lambda c, pw, tw, br: _coset_ntt_jit(domain, c, pw, tw, br),
+                   coeffs, table.pows, domain.twiddles_fwd, domain.bitrev)
 
 
 def coset_intt(domain: Domain, evals: jnp.ndarray, table: CosetTable) -> jnp.ndarray:
     """Interpolate from evaluations on coset g*H back to coefficients."""
-    return _coset_intt_jit(domain, evals, table.pows_inv, domain.twiddles_inv, domain.bitrev)
+    return _cached("coset_intt", domain,
+                   lambda e, pw, tw, br: _coset_intt_jit(domain, e, pw, tw, br),
+                   evals, table.pows_inv, domain.twiddles_inv, domain.bitrev)

@@ -344,8 +344,9 @@ class PlonkKzgSnark:
     # -- verify ------------------------------------------------------------
     def verify(self, vk: VerifyingKey, public_input, proof: Proof,
                extra_transcript_init_msg: bytes | None = None):
-        self.batch_verify([vk], [public_input], [proof],
-                          [extra_transcript_init_msg])
+        """Raises WrongProof on failure; returns True on success."""
+        return self.batch_verify([vk], [public_input], [proof],
+                                 [extra_transcript_init_msg])
 
     def batch_verify(self, vks, public_inputs, proofs,
                      extra_transcript_init_msgs=None):
@@ -364,6 +365,7 @@ class PlonkKzgSnark:
         if not Verifier.batch_verify_opening_proofs(
                 self.curve, vks[0].open_key, pcs_infos):
             raise WrongProof("proof verification failed")
+        return True
 
     def verify_batch_proof(self, vks, public_inputs, batch_proof: BatchProof):
         """snark.rs:117-138 (one aggregated proof, many instances)."""
@@ -372,3 +374,4 @@ class PlonkKzgSnark:
         if not Verifier.batch_verify_opening_proofs(
                 self.curve, vks[0].open_key, [pcs_info]):
             raise WrongProof("batch proof verification failed")
+        return True

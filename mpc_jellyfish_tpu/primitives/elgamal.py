@@ -10,7 +10,7 @@ from dataclasses import dataclass
 
 from ..curves import BN254
 from ..utils.te_curve import BABY_JUBJUB, TECurve
-from .rescue import RescueParams, RescueCRHF, STATE_SIZE, CRHF_RATE
+from .rescue import RescueParams
 
 
 @dataclass
@@ -30,25 +30,35 @@ class ElGamalEncryption:
         pk = self.curve.mul(self.curve.gen, sk)
         return sk, pk
 
-    def _stream(self, shared, n: int) -> list:
-        """Rescue counter-mode keystream from the shared point
-        (elgamal.rs `apply_counter_mode_stream`)."""
-        key = [shared[0] % self.p, shared[1] % self.p, 0, 0]
+    def _stream(self, shared, n: int, nonce: int = 0) -> list:
+        """Rescue counter-mode keystream from the shared point.
+
+        key = Permutation([shared.x, shared.y, 0, 0]); stream block i is the
+        full PRP output on state [nonce+i, 0, 0, 0]
+        (elgamal.rs:225-233 `compute_cipher_text_from_ephemeral_key_pair`,
+        :300-334 `apply_counter_mode_stream`)."""
+        key = self.params.permute(
+            [shared[0] % self.p, shared[1] % self.p, 0, 0])
+        round_keys = self.params.key_schedule(key)
         out = []
         ctr = 0
         while len(out) < n:
-            block = self.params.prp(key, [ctr, 0, 0, 0])
-            out.extend(block[:CRHF_RATE])
+            out.extend(self.params.prp_with_keys(
+                round_keys, [(nonce + ctr) % self.p, 0, 0, 0]))
             ctr += 1
         return out[:n]
 
-    def encrypt(self, rng, pk, msg: list) -> ElGamalCiphertext:
-        r = rng.randrange(1, self.curve.order)
+    def deterministic_encrypt(self, r: int, pk, msg: list) -> ElGamalCiphertext:
+        """Encryption with pre-sampled randomness (elgamal.rs:241-244)."""
         eph = self.curve.mul(self.curve.gen, r)
         shared = self.curve.mul(pk, r)
         stream = self._stream(shared, len(msg))
         data = [(m + s) % self.p for m, s in zip(msg, stream)]
         return ElGamalCiphertext(ephemeral=eph, data=data)
+
+    def encrypt(self, rng, pk, msg: list) -> ElGamalCiphertext:
+        r = rng.randrange(1, self.curve.order)
+        return self.deterministic_encrypt(r, pk, msg)
 
     def decrypt(self, sk, ct: ElGamalCiphertext) -> list:
         shared = self.curve.mul(ct.ephemeral, sk)

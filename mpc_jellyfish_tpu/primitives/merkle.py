@@ -95,8 +95,8 @@ class RescueMerkleTree:
     def _build(self):
         p = self.spec.p
         n = len(self.leaves)
-        # leaf digests: H(pos, elem, 0)
-        level = self._hash3([[i, e, 0] for i, e in enumerate(self.leaves)]) \
+        # leaf digests: H(0, pos, elem) (reference prelude.rs:40-43)
+        level = self._hash3([[0, i, e] for i, e in enumerate(self.leaves)]) \
             if n else []
         levels = [list(level)]
         for _ in range(self.height):
@@ -141,7 +141,7 @@ class RescueMerkleTree:
         crhf = RescueCRHF(spec)
         if proof.pos != pos or proof.elem is None:
             return False
-        cur = crhf.sponge_no_padding([pos, proof.elem % spec.p, 0], 1)[0]
+        cur = crhf.sponge_no_padding([0, pos, proof.elem % spec.p], 1)[0]
         for (branch, sibs) in proof.path:
             if branch < 0 or branch >= ARITY or len(sibs) != ARITY - 1:
                 return False
@@ -179,7 +179,7 @@ class UniversalMerkleTree:
         return t
 
     def _leaf_digest(self, pos: int, elem: int) -> int:
-        return self.crhf.sponge_no_padding([pos, elem % self.spec.p, 0], 1)[0]
+        return self.crhf.sponge_no_padding([0, pos, elem % self.spec.p], 1)[0]
 
     def update(self, pos: int, elem: int):
         """Mirror of `UniversalMerkleTreeScheme::update`."""

@@ -16,9 +16,12 @@ from dataclasses import dataclass
 
 from ..curves import BN254
 from ..utils.te_curve import BABY_JUBJUB, TECurve
-from ..utils.conversion import fq_to_fr, fr_to_fq, hash_to_field
+from ..utils.conversion import (fq_to_fr, fq_to_fr_with_mask, fr_to_fq,
+                                hash_to_field)
+
+# reference primitives/src/constants.rs:10,30
+CS_ID_SCHNORR = b"SCHNORR_WITH_RESCUE_HASH_v01"
 from ..utils import ec_host as H
-from ..utils.keccak import keccak256
 from .. import pairing as PR
 from .rescue import RescueCRHF
 
@@ -45,15 +48,22 @@ class SchnorrSignatureScheme:
         vk = self.curve.mul(self.curve.gen, sk)
         return sk, vk
 
+    def _csid_field(self, csid: bytes) -> int:
+        """instance_description = F::from_be_bytes_mod_order(csid)
+        (schnorr.rs:293,:383)."""
+        return int.from_bytes(csid, "big") % self.curve.q
+
     def _challenge(self, vk, R, msg: list, csid: bytes) -> int:
-        csid_f = int.from_bytes(keccak256(csid)[:31], "big") % self.curve.q
+        """248-bit masked Rescue challenge (schnorr.rs:379-397)."""
+        csid_f = self._csid_field(csid)
         digest = self.crhf.sponge_with_bit_padding(
             [csid_f, vk[0], vk[1], R[0], R[1]] + list(msg), 1)[0]
-        return fq_to_fr(self.curve.order, digest)
+        return fq_to_fr_with_mask(self.curve.order, digest)
 
-    def sign(self, sk: int, msg: list, csid: bytes = b"schnorr") -> SchnorrSignature:
+    def sign(self, sk: int, msg: list,
+             csid: bytes = CS_ID_SCHNORR) -> SchnorrSignature:
         """Deterministic nonce from Rescue of (csid, sk, msg) (schnorr.rs:294)."""
-        csid_f = int.from_bytes(keccak256(csid)[:31], "big") % self.curve.q
+        csid_f = self._csid_field(csid)
         nonce_input = [csid_f, fr_to_fq(self.curve.q, sk)] + list(msg)
         r = fq_to_fr(self.curve.order,
                      self.crhf.sponge_with_bit_padding(nonce_input, 1)[0])
@@ -64,7 +74,7 @@ class SchnorrSignatureScheme:
         return SchnorrSignature(s=s, R=R)
 
     def verify(self, vk, msg: list, sig: SchnorrSignature,
-               csid: bytes = b"schnorr") -> bool:
+               csid: bytes = CS_ID_SCHNORR) -> bool:
         cur = self.curve
         if not cur.is_on_curve(vk) or not cur.is_on_curve(sig.R):
             return False

@@ -171,3 +171,16 @@ def LookupGate(p, q_dom_sep, table_dom_sep, table_key):
 def ProofLinkingGate():
     """a * 0 = 0 (reference gates/mod.rs:88)."""
     return Gate("Proof Linking Gate", q_mul=(1, 0))
+
+
+# -- Rescue gadget gates (reference primitives/src/circuit/rescue/native.rs) --
+
+def RescueAffineGate(matrix_row, constant):
+    """out = <matrix_row, w[0..4]> + constant (native.rs:60-82)."""
+    return Gate("Affine gate", q_lc=tuple(matrix_row), q_c=constant, q_o=1)
+
+
+def Power5NonLinearGate(matrix_row, constant):
+    """out = <matrix_row, w[0..4]^5> + constant (native.rs:89-111)."""
+    return Gate("Non linear gate", q_hash=tuple(matrix_row), q_c=constant,
+                q_o=1)

@@ -24,10 +24,11 @@ def fq_to_fr(fr_p: int, fq_val: int) -> int:
 
 
 def fq_to_fr_with_mask(fr_p: int, fq_val: int) -> int:
-    """Value-preserving Fq -> Fr by masking to (bit_len(fr) - 1) bits
-    (conversion.rs:54)."""
-    bits = fr_p.bit_length() - 1
-    return fq_val & ((1 << bits) - 1)
+    """Value-preserving Fq -> Fr by truncating to the low
+    (bit_len(fr) >> 3) bytes (conversion.rs:54-63: keeps
+    `T::MODULUS_BIT_SIZE >> 3` LE bytes, 248 bits for 251-bit fields)."""
+    nbytes = fr_p.bit_length() >> 3
+    return fq_val & ((1 << (8 * nbytes)) - 1)
 
 
 def field_switching(dst_p: int, val: int) -> int:
