@@ -12,9 +12,28 @@ import jax as _jax
 
 # Persistent XLA compilation cache: the limb-arithmetic graphs are large and
 # recompile across processes otherwise.  Harmless if the dir is unwritable.
+# The dir is fingerprinted by the host CPU flags: XLA's CPU cache key does
+# NOT include machine features, so artifacts from a different container
+# generation load with "prefer-no-gather not supported" warnings and can
+# SIGILL mid-suite.
+def _host_fingerprint() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
 try:
     _cache_dir = _os.environ.get(
         "MPC_JELLYFISH_TPU_CACHE", _os.path.expanduser("~/.cache/mpc_jellyfish_tpu_xla"))
+    _cache_dir = _os.path.join(_cache_dir, _host_fingerprint())
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -105,4 +105,50 @@ BLS12_381 = CurveSpec(
     x_param=-0xD201000000010000,
 )
 
-CURVES = {"bn254": BN254, "bls12_381": BLS12_381}
+# ---------------------------------------------------------------------------
+# BLS12-377 (the recursion-friendly inner curve: G1 cofactor divisible by 4,
+# so G1 has a twisted-Edwards form — reference `gadgets/ecc/conversion.rs:62`
+# and the `plonk/src/circuit/plonk_verifier` tests run on it).
+# All constants below derive from x = 0x8508c00000000001 via the BLS12 family
+# formulas (r = x^4-x^2+1, q = (x-1)^2 r/3 + x) and are verified by
+# subgroup-order checks in scripts/derive_bls377.py-style derivations.
+# ---------------------------------------------------------------------------
+
+BLS12_377_FR_MOD = 8444461749428370424248824938781546531375899335154063827935233455917409239041
+BLS12_377_FQ_MOD = 258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458177
+
+BLS12_377_FR = FieldSpec(name="bls12_377_fr", p=BLS12_377_FR_MOD,
+                         num_limbs=16, generator=22)
+BLS12_377_FQ = FieldSpec(name="bls12_377_fq", p=BLS12_377_FQ_MOD,
+                         num_limbs=24, generator=15)
+
+BLS12_377 = CurveSpec(
+    name="bls12_377",
+    fq=BLS12_377_FQ,
+    fr=BLS12_377_FR,
+    b=1,
+    g1_gen=(
+        81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,
+        241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030,
+    ),
+    # D-twist E': y^2 = x^3 + 1/u (u^2 = -5): b2 = (0, -1/5)
+    b2=(0, 155198655607781456406391640216936120121836107652948796323930557600032281009004493664981332883744016074664192874906),
+    g2_gen=(
+        (
+            67004216521362769139960304638241662463384504912045095543649118964167831559549275276665917802324363056069254155209,
+            188039100033830534835560926333495938812099884491688240598849896699685545777288948680356069069856197422355451241144,
+        ),
+        (
+            212961125199539672632481864692443889005842964580434572770814582520396590909323644956646137861647360575214633605398,
+            67625758907332218457243685014278362134590189520408250963023412301547932120327362287218456798771752606845621278268,
+        ),
+    ),
+    fq2_nonresidue=BLS12_377_FQ_MOD - 5,  # u^2 = -5
+    x_param=0x8508C00000000001,
+)
+
+# register the non-default quadratic nonresidue for the host tower
+from .utils import fq_tower as _T  # noqa: E402
+_T.set_beta(BLS12_377_FQ_MOD, -5)
+
+CURVES = {"bn254": BN254, "bls12_381": BLS12_381, "bls12_377": BLS12_377}

@@ -211,6 +211,38 @@ def affine_from_device(spec: FieldSpec, batch) -> list:
             for a, b, i in zip(xs, ys, infs)]
 
 
+def batch_scalar_mul(spec: FieldSpec, P, scalars: jnp.ndarray):
+    """Independent scalar muls: P_i * s_i (NOT an MSM; no accumulation).
+
+    P: jacobian tuple [L, n]; scalars: [Lr, n] NORMAL-form limbs.
+    Left-to-right double-and-add as one lax.scan over the bit positions.
+    Used by the FK23 group-FFT (reference toeplitz.rs:27-118 applied to
+    G1 vectors in `univariate_kzg/mod.rs:336-376`)."""
+    Lr = scalars.shape[0]
+    bits = Lr * 16
+    n_shape = P[0].shape[1:]
+    acc = jac_infinity(spec, n_shape)
+
+    def body(acc, j):
+        jj = bits - 1 - j
+        limb = scalars[jj // 16]
+        bit = ((limb >> (jj % 16)) & 1) > 0
+        acc = jac_double(spec, acc)
+        added = jac_add(spec, acc, P)
+        return _sel(bit, added, acc), None
+
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(bits, dtype=jnp.int32))
+    return acc
+
+
+def scalar_mul_const(spec: FieldSpec, P, k: int, k_limbs: int):
+    """P_i * k for one shared constant k (scan-based; small compiled graph)."""
+    from ..utils.bigint import ints_to_limbs
+    sc = jnp.asarray(ints_to_limbs([k], k_limbs))       # [Lr, 1]
+    sc = jnp.broadcast_to(sc, (k_limbs,) + P[0].shape[1:])
+    return batch_scalar_mul(spec, P, sc)
+
+
 # jit-wrapped public ops
 jac_double = functools.partial(jax.jit, static_argnums=0)(jac_double)
 jac_add = functools.partial(jax.jit, static_argnums=0)(jac_add)

@@ -94,25 +94,22 @@ def _sel_tuple(cond, a, b):
 
 
 def _tree_sum_ec(spec: FieldSpec, pts):
-    """Sum points along the LAST axis (log-depth)."""
+    """Sum points along the LAST axis (log-depth, width halves per level:
+    ~2m lane-adds total instead of the m*log(m) a fixed-width scan pays)."""
     m = pts[0].shape[-1]
-    steps = max(1, (m - 1).bit_length())
-    mfull = 1 << steps
-    if mfull != m:
-        inf = E.jac_infinity(spec, pts[0].shape[1:-1] + (mfull - m,))
-        pts = tuple(jnp.concatenate([t, i], axis=-1) for t, i in zip(pts, inf))
-    idx = jnp.arange(mfull, dtype=I32)
-
-    def body(carry, half):
-        pts, = carry
-        shifted = tuple(jnp.roll(t, -half, axis=-1) for t in pts)
-        summed = E.jac_add(spec, pts, shifted)
-        keep = idx < half
-        pts = _sel_tuple(keep, summed, pts)
-        return (pts,), None
-
-    halves = jnp.asarray([mfull >> (s + 1) for s in range(steps)], dtype=I32)
-    (pts,), _ = jax.lax.scan(body, (pts,), halves)
+    while m > 1:
+        half = m // 2
+        lo = tuple(t[..., :half] for t in pts)
+        hi = tuple(t[..., half:2 * half] for t in pts)
+        summed = E.jac_add(spec, lo, hi)
+        if m % 2:
+            tail = tuple(t[..., 2 * half:] for t in pts)
+            summed = tuple(jnp.concatenate([s, t], axis=-1)
+                           for s, t in zip(summed, tail))
+            m = half + 1
+        else:
+            m = half
+        pts = summed
     return tuple(t[..., 0] for t in pts)
 
 
@@ -171,8 +168,15 @@ def _scan_stream_xla(spec: FieldSpec, xs, ys, valid):
     return tuple(jnp.moveaxis(t, 1, 0) for t in stream)
 
 
-def _madd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L, acc, x2, y2, valid):
+def _madd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L, acc, x2, y2, valid,
+                      unchecked: bool = False):
     """Complete mixed add on limb lists; every operand is a (JB, C) u32.
+
+    With `unchecked`, the doubling branch (acc == point) is omitted: inside
+    bucket accumulation the running prefix of distinct SRS points equals the
+    next point only with cryptographically negligible probability, and the
+    saved ~10 field muls are ~45% of the kernel's compute.  (Same trade
+    arkworks-era GPU MSMs make.)  Inverse points and infinities stay handled.
 
     Returns the new accumulator (lists X, Y, Z)."""
     from .pallas_field import _mm_vecs, _add_vecs, _sub_vecs
@@ -211,37 +215,43 @@ def _madd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L, acc, x2, y2, valid):
     Y3 = subv(mm(Rr, subv(V, X3)), mm(Y1, HHH))
     Z3 = mm(Z1, H)
 
-    # doubling path (acc == point): dbl-2009-l, a = 0
-    A = mm(X1, X1)
-    B = mm(Y1, Y1)
-    Cc = mm(B, B)
-    XB = addv(X1, B)
-    T2 = mm(XB, XB)
-    D = subv(subv(T2, A), Cc)
-    D = addv(D, D)
-    Ee = addv(addv(A, A), A)
-    Ff = mm(Ee, Ee)
-    X3d = subv(Ff, addv(D, D))
-    C8 = addv(Cc, Cc)
-    C8 = addv(C8, C8)
-    C8 = addv(C8, C8)
-    Y3d = subv(mm(Ee, subv(D, X3d)), C8)
-    YZ = mm(Y1, Z1)
-    Z3d = addv(YZ, YZ)
-
     h0 = iszero(H)
-    r0 = iszero(Rr)
     acc_inf = iszero(Z1)
     one = [jnp.full_like(x2[0], np.uint32(v)) for v in ONE_MONT]
     zero = [jnp.zeros_like(x2[0]) for _ in range(L)]
 
-    newX = selv(h0 & r0, X3d, X3)
-    newY = selv(h0 & r0, Y3d, Y3)
-    newZ = selv(h0 & r0, Z3d, Z3)
-    # inverse points -> infinity
-    newX = selv(h0 & ~r0, one, newX)
-    newY = selv(h0 & ~r0, one, newY)
-    newZ = selv(h0 & ~r0, zero, newZ)
+    if unchecked:
+        # H == 0 can only mean inverse points (doubling assumed impossible)
+        newX = selv(h0, one, X3)
+        newY = selv(h0, one, Y3)
+        newZ = selv(h0, zero, Z3)
+    else:
+        # doubling path (acc == point): dbl-2009-l, a = 0
+        A = mm(X1, X1)
+        B = mm(Y1, Y1)
+        Cc = mm(B, B)
+        XB = addv(X1, B)
+        T2 = mm(XB, XB)
+        D = subv(subv(T2, A), Cc)
+        D = addv(D, D)
+        Ee = addv(addv(A, A), A)
+        Ff = mm(Ee, Ee)
+        X3d = subv(Ff, addv(D, D))
+        C8 = addv(Cc, Cc)
+        C8 = addv(C8, C8)
+        C8 = addv(C8, C8)
+        Y3d = subv(mm(Ee, subv(D, X3d)), C8)
+        YZ = mm(Y1, Z1)
+        Z3d = addv(YZ, YZ)
+
+        r0 = iszero(Rr)
+        newX = selv(h0 & r0, X3d, X3)
+        newY = selv(h0 & r0, Y3d, Y3)
+        newZ = selv(h0 & r0, Z3d, Z3)
+        # inverse points -> infinity
+        newX = selv(h0 & ~r0, one, newX)
+        newY = selv(h0 & ~r0, one, newY)
+        newZ = selv(h0 & ~r0, zero, newZ)
     # accumulator was infinity -> take the point
     newX = selv(acc_inf, x2, newX)
     newY = selv(acc_inf, y2, newY)
@@ -253,11 +263,41 @@ def _madd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L, acc, x2, y2, valid):
     return newX, newY, newZ
 
 
+def _pack_rows(t: jnp.ndarray) -> jnp.ndarray:
+    """[L, ...] u32 16-bit limbs -> [L/2, ...] u32 (two limbs per word).
+
+    HBM traffic is the MSM bottleneck; all point/stream tensors move packed
+    and are unpacked on the fly in VMEM/registers."""
+    return t[0::2] | (t[1::2] << 16)
+
+
+def _unpack_rows(t: jnp.ndarray) -> jnp.ndarray:
+    """[H, ...] packed -> [2H, ...] 16-bit limbs."""
+    lo = t & jnp.uint32(0xFFFF)
+    hi = t >> 16
+    parts = jnp.stack([lo, hi], axis=1)       # [H, 2, ...]
+    return parts.reshape((-1,) + t.shape[1:])
+
+
 def _make_scan_kernel(spec: FieldSpec, RB: int):
     L = spec.num_limbs
+    H = L // 2
     P_LIMBS = tuple(np.uint32(v) for v in spec.p_limbs)
     N0INV = np.uint32(spec.n0inv)
     ONE_MONT = tuple(np.uint32(v) for v in spec.mont_one_np)
+    MASK = np.uint32(0xFFFF)
+
+    def unpack(ref, rb):
+        out = []
+        for i in range(H):
+            v = ref[i, rb]
+            out.append(v & MASK)
+            out.append(v >> 16)
+        return out
+
+    def pack_store(ref, rb, limbs):
+        for i in range(H):
+            ref[i, rb] = limbs[2 * i] | (limbs[2 * i + 1] << 16)
 
     def kernel(xs_ref, ys_ref, val_ref, ox_ref, oy_ref, oz_ref,
                accx, accy, accz):
@@ -272,54 +312,58 @@ def _make_scan_kernel(spec: FieldSpec, RB: int):
                 accz[i] = jnp.zeros_like(accz[i])
 
         for rb in range(RB):
-            x2 = [xs_ref[i, rb] for i in range(L)]
-            y2 = [ys_ref[i, rb] for i in range(L)]
+            x2 = unpack(xs_ref, rb)
+            y2 = unpack(ys_ref, rb)
             valid = val_ref[rb] > 0
             acc = ([accx[i] for i in range(L)],
                    [accy[i] for i in range(L)],
                    [accz[i] for i in range(L)])
             nx, ny, nz = _madd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L,
-                                           acc, x2, y2, valid)
+                                           acc, x2, y2, valid, unchecked=True)
             for i in range(L):
                 accx[i] = nx[i]
                 accy[i] = ny[i]
                 accz[i] = nz[i]
-                ox_ref[i, rb] = nx[i]
-                oy_ref[i, rb] = ny[i]
-                oz_ref[i, rb] = nz[i]
+            pack_store(ox_ref, rb, nx)
+            pack_store(oy_ref, rb, ny)
+            pack_store(oz_ref, rb, nz)
 
     return kernel
 
 
-def _scan_stream_pallas(spec: FieldSpec, xs, ys, valid, RB: int = 2,
+def _scan_stream_pallas(spec: FieldSpec, xs_p, ys_p, valid, RB: int = 2,
                         JB: int = 8):
-    """Fused Pallas prefix scan.  Shapes as `_scan_stream_xla`."""
+    """Fused Pallas prefix scan over PACKED limb tensors.
+
+    xs_p, ys_p: [L/2, R, J, C] packed; valid: [R, J, C] bool.
+    Returns packed stream (X, Y, Z) each [L/2, R, J, C]."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    L, R, J, C = xs.shape
+    L = spec.num_limbs
+    H, R, J, C = xs_p.shape
     assert R % RB == 0 and J % JB == 0
     kernel = _make_scan_kernel(spec, RB)
     grid = (J // JB, R // RB)
     blk = lambda j, r: (0, r, j, 0)
     vblk = lambda j, r: (r, j, 0)
-    out_shape = [jax.ShapeDtypeStruct((L, R, J, C), U32)] * 3
+    out_shape = [jax.ShapeDtypeStruct((H, R, J, C), U32)] * 3
     ox, oy, oz = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, RB, JB, C), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, RB, JB, C), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, RB, JB, C), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, RB, JB, C), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, JB, C), vblk, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((L, RB, JB, C), blk, memory_space=pltpu.VMEM)] * 3,
+            pl.BlockSpec((H, RB, JB, C), blk, memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
             pltpu.VMEM((L, JB, C), U32),
             pltpu.VMEM((L, JB, C), U32),
             pltpu.VMEM((L, JB, C), U32),
         ],
-    )(xs, ys, valid.astype(U32))
+    )(xs_p, ys_p, valid.astype(U32))
     return ox, oy, oz
 
 
@@ -331,9 +375,9 @@ def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
                    c: int, C: int, use_pallas: bool):
     """Window sums for a chunk of jobs.
 
-    x: [L, n]; y_all: [L, 2n] (y ++ -y); inf_mask: [n] bool;
-    bucket: [Jc, n] i32 in [0, 2^(c-1)]; sign: [Jc, n] bool.
-    Returns jacobian tuple of [L, Jc]."""
+    x: [L, n] (or packed [L/2, n] when use_pallas); y_all likewise (y ++ -y);
+    inf_mask: [n] bool; bucket: [Jc, n] i32 in [0, 2^(c-1)]; sign: [Jc, n]
+    bool.  Returns jacobian tuple of [L, Jc]."""
     L = spec.num_limbs
     Jc, n = bucket.shape
     B = 1 << (c - 1)
@@ -349,23 +393,25 @@ def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
 
     idx = val >> 1
     y_idx = idx + (val & 1) * n
-    xs = jnp.take(x, idx, axis=1)                         # [L, Jc, n]
+    xs = jnp.take(x, idx, axis=1)                         # [Lx, Jc, n]
     ys = jnp.take(y_all, y_idx, axis=1)
     valid = b_desc > 0                                    # [Jc, n]
 
-    # layout [L, R, Jc, C]: sorted index i = l*R + r  (lane-major chunks)
-    xs = jnp.moveaxis(xs.reshape(L, Jc, C, R), 3, 1)
-    ys = jnp.moveaxis(ys.reshape(L, Jc, C, R), 3, 1)
+    # layout [Lx, R, Jc, C]: sorted index i = l*R + r  (lane-major chunks)
+    Lx = xs.shape[0]
+    xs = jnp.moveaxis(xs.reshape(Lx, Jc, C, R), 3, 1)
+    ys = jnp.moveaxis(ys.reshape(Lx, Jc, C, R), 3, 1)
     vv = jnp.moveaxis(valid.reshape(Jc, C, R), 2, 0)      # [R, Jc, C]
 
     if use_pallas:
-        SX, SY, SZ = _scan_stream_pallas(spec, xs, ys, vv)
+        stream = _scan_stream_pallas(spec, xs, ys, vv)    # packed [L/2,...]
     else:
-        SX, SY, SZ = _scan_stream_xla(spec, xs, ys, vv)
-    stream = (SX, SY, SZ)
+        stream = _scan_stream_xla(spec, xs, ys, vv)
 
-    # exclusive prefix of lane totals along C
-    totals = tuple(t[:, R - 1] for t in stream)           # [L, Jc, C]
+    # exclusive prefix of lane totals along C (small: unpack if needed)
+    totals = tuple(t[:, R - 1] for t in stream)           # [Lx, Jc, C]
+    if use_pallas:
+        totals = tuple(_unpack_rows(t) for t in totals)
     blockpref = _exclusive_lane_prefix(spec, totals)
 
     # positions: cnt_ge(b) for b = 1..B
@@ -380,8 +426,10 @@ def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
     flat_stream = r_b * (Jc * C) + job * C + l_b          # [Jc, B]
     flat_pref = job * C + l_b
 
-    S_in = tuple(jnp.take(t.reshape(L, R * Jc * C), flat_stream.reshape(-1),
-                          axis=1).reshape(L, Jc, B) for t in stream)
+    S_in = tuple(jnp.take(t.reshape(Lx, R * Jc * C), flat_stream.reshape(-1),
+                          axis=1).reshape(Lx, Jc, B) for t in stream)
+    if use_pallas:
+        S_in = tuple(_unpack_rows(t) for t in S_in)
     S_bp = tuple(jnp.take(t.reshape(L, Jc * C), flat_pref.reshape(-1),
                           axis=1).reshape(L, Jc, B) for t in blockpref)
     T = E.jac_add(spec, S_in, S_bp)                       # [L, Jc, B]
@@ -391,12 +439,15 @@ def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
 
 
 def _pick_c(n: int) -> int:
-    if n >= (1 << 17):
-        return 14
-    if n >= (1 << 12):
-        return 13
-    if n >= (1 << 8):
+    # measured on v5e: the XLA-land bucket reduction costs ~20-40x more per
+    # lane-add than the fused scan kernel, so small windows win (2^14, k=6:
+    # c=9/10 -> 130 ms vs c=13 -> 630 ms)
+    if n >= (1 << 18):
+        return 11
+    if n >= (1 << 14):
         return 10
+    if n >= (1 << 8):
+        return 9
     return 6
 
 
@@ -408,8 +459,9 @@ def _pick_C(n_pad: int) -> int:
 
 
 def _pick_chunk(n_pad: int, J: int) -> int:
-    # stream memory: 3 coords x L x 4B x n_pad per job; target <= ~0.8 GB
-    per_job = 3 * 16 * 4 * n_pad
+    # stream memory: 3 coords x L/2 x 4B x n_pad per job (packed) plus the
+    # two gathered input copies; target <= ~0.8 GB per chunk
+    per_job = 5 * 8 * 4 * n_pad
     jc = max(8, int(8e8 // per_job) // 8 * 8)
     jc = min(jc, (J + 7) // 8 * 8)
     return jc
@@ -448,6 +500,10 @@ def _msm_batch_jit(spec: FieldSpec, points, scalars, c: int, C: int,
             [sign, jnp.zeros((J_pad - J, n_pad), dtype=jnp.bool_)], axis=0)
 
     y_all = jnp.concatenate([y, F.neg(spec, y)], axis=1)  # [L, 2 n_pad]
+    if use_pallas:
+        # move points through HBM packed (two 16-bit limbs per u32)
+        x = _pack_rows(x)
+        y_all = _pack_rows(y_all)
 
     nchunks = J_pad // Jc
     bucket = bucket.reshape(nchunks, Jc, n_pad)
@@ -477,8 +533,30 @@ def _msm_batch_jit(spec: FieldSpec, points, scalars, c: int, C: int,
 # public API
 # ---------------------------------------------------------------------------
 
+def _msm_batch_host(spec: FieldSpec, points, scalars) -> tuple:
+    """Host-int Pippenger fallback: on the CPU backend the XLA scan path is
+    ~50x slower than exact-bignum Python (u32 limb emulation on 4 cores), so
+    correctness tests route here.  Returns the same jacobian [L, k] layout."""
+    from . import ec as E
+    from ..utils import ec_host as H
+    k = scalars.shape[0]
+    pts = E.affine_from_device(spec, points)
+    import numpy as np_
+    sc = np_.asarray(jax.device_get(scalars), dtype=np_.uint64)
+    out = []
+    for i in range(k):
+        vals = [int(sum(int(sc[i, j, t]) << (16 * j)
+                        for j in range(sc.shape[1]))) for t in range(len(pts))]
+        out.append(H.ec_msm_fast(spec.p, pts, vals))
+    x = spec.to_device([0 if pt.inf else pt.x for pt in out])
+    y = spec.to_device([0 if pt.inf else pt.y for pt in out])
+    z = jnp.where(jnp.asarray([pt.inf for pt in out])[None, :],
+                  F.zeros(spec, (k,)), F.ones(spec, (k,)))
+    return (x, y, z)
+
+
 def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
-              lanes: int | None = None):
+              lanes: int | None = None, force_device: bool = False):
     """k MSMs over SHARED bases: sum_i scalars[k][i] * points_i for each k.
 
     scalars_list: list of [Lr, n] normal-form limb tensors (or [k, Lr, n]).
@@ -491,6 +569,9 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
     else:
         scalars = scalars_list
     k, Lr, n = scalars.shape
+    if (not force_device and jax.default_backend() == "cpu"
+            and n <= (1 << 15)):
+        return _msm_batch_host(spec, points, scalars)
     if c is None:
         c = _pick_c(n)
     C = _pick_C(((n + 127) // 128) * 128)
@@ -505,7 +586,8 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
 
 
 def msm(spec: FieldSpec, points, scalars: jnp.ndarray, c: int | None = None,
-        lanes: int | None = None):
+        lanes: int | None = None, force_device: bool = False):
     """Single MSM: sum_i scalars_i * points_i -> jacobian tuple of [L]."""
-    res = msm_batch(spec, points, scalars[None], c=c, lanes=lanes)
+    res = msm_batch(spec, points, scalars[None], c=c, lanes=lanes,
+                    force_device=force_device)
     return tuple(t[:, 0] for t in res)

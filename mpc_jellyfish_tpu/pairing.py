@@ -46,15 +46,18 @@ class G2Point:
 
 
 def _xi(curve: CurveSpec):
+    """Fq6 = Fq2[v]/(v^3 - xi): the sextic-twist element per curve."""
     if curve.name == "bn254":
         return (9, 1)
     if curve.name == "bls12_381":
         return (1, 1)
+    if curve.name == "bls12_377":
+        return (0, 1)     # xi = u (u^2 = -5)
     raise ValueError(curve.name)
 
 
 def _twist_type(curve: CurveSpec) -> str:
-    return "D" if curve.name == "bn254" else "M"
+    return "M" if curve.name == "bls12_381" else "D"
 
 
 # -- G2 host arithmetic over Fq2 --------------------------------------------
@@ -201,14 +204,127 @@ def _final_exponent(curve: CurveSpec) -> int:
     return (q ** 12 - 1) // curve.fr.p
 
 
-def pairing(curve: CurveSpec, P: AffinePoint, Q: G2Point):
-    """Reduced Tate pairing e(P, Q) in Fq12 (1 element)."""
+# -- optimal ate pairing (verification hot path) ------------------------------
+#
+# Mirrors arkworks' BN/BLS pairing engines as consumed by the reference
+# verifier (`verifier.rs:195-252`, `utilities/src/multi_pairing.rs:13`):
+# short Miller loop (~65 doubling steps over the curve parameter instead of
+# 254 over r) + Frobenius-decomposed final exponentiation.  Q is iterated in
+# untwisted E(Fq12) affine coordinates; P in G1(Fq) is where lines evaluate.
+
+def _ate_line(p, xi, Tx, Ty, lam, xP, yP):
+    """l(P) = yP - Ty - lam*(xP - Tx) as an Fq12 element."""
+    l = T.f12_sub(p, T.f12_mul(p, xi, lam, Tx), Ty)
+    l = T.f12_add(p, l, T.f12_scalar_base(p, yP))
+    return T.f12_sub(p, l, _f12_scale(p, xi, lam, xP))
+
+
+def _ate_dbl(p, xi, Tq, xP, yP):
+    """(2T, line_{T,T}(P))."""
+    Tx, Ty = Tq
+    lam = T.f12_mul(p, xi, _f12_scale(p, xi, T.f12_mul(p, xi, Tx, Tx), 3),
+                    T.f12_inv(p, xi, _f12_scale(p, xi, Ty, 2)))
+    l = _ate_line(p, xi, Tx, Ty, lam, xP, yP)
+    x3 = T.f12_sub(p, T.f12_mul(p, xi, lam, lam), _f12_scale(p, xi, Tx, 2))
+    y3 = T.f12_sub(p, T.f12_mul(p, xi, lam, T.f12_sub(p, Tx, x3)), Ty)
+    return (x3, y3), l
+
+
+def _ate_add(p, xi, Tq, Qq, xP, yP):
+    """(T+Q, line_{T,Q}(P)); T != +-Q assumed (loop scalars < r)."""
+    Tx, Ty = Tq
+    Qx, Qy = Qq
+    lam = T.f12_mul(p, xi, T.f12_sub(p, Qy, Ty),
+                    T.f12_inv(p, xi, T.f12_sub(p, Qx, Tx)))
+    l = _ate_line(p, xi, Tx, Ty, lam, xP, yP)
+    x3 = T.f12_sub(p, T.f12_sub(p, T.f12_mul(p, xi, lam, lam), Tx), Qx)
+    y3 = T.f12_sub(p, T.f12_mul(p, xi, lam, T.f12_sub(p, Tx, x3)), Ty)
+    return (x3, y3), l
+
+
+def _miller_ate(curve: CurveSpec, P: AffinePoint, Qq, s: int):
+    """f_{s,Q}(P) and T = s*Q (s > 0)."""
+    p, xi = curve.fq.p, _xi(curve)
+    f = T.F12_ONE
+    Tq = Qq
+    for b in bin(s)[3:]:
+        Tq, l = _ate_dbl(p, xi, Tq, P.x, P.y)
+        f = T.f12_mul(p, xi, T.f12_sqr(p, xi, f), l)
+        if b == "1":
+            Tq, l = _ate_add(p, xi, Tq, Qq, P.x, P.y)
+            f = T.f12_mul(p, xi, f, l)
+    return f, Tq
+
+
+def _ate_miller_full(curve: CurveSpec, P: AffinePoint, Q: G2Point):
+    """Complete Miller part of the optimal ate pairing (before final exp)."""
+    p, xi = curve.fq.p, _xi(curve)
+    Qq = untwist(curve, Q)
+    x = curve.x_param
+    if curve.name == "bn254":
+        # loop 6x+2, then the two Frobenius correction lines
+        f, Tq = _miller_ate(curve, P, Qq, 6 * x + 2)
+        q1 = (T.f12_frobenius(p, xi, Qq[0]), T.f12_frobenius(p, xi, Qq[1]))
+        q2 = (T.f12_frobenius(p, xi, Qq[0], 2),
+              T.f12_neg(p, T.f12_frobenius(p, xi, Qq[1], 2)))  # -pi^2(Q)
+        Tq, l = _ate_add(p, xi, Tq, q1, P.x, P.y)
+        f = T.f12_mul(p, xi, f, l)
+        _, l = _ate_add(p, xi, Tq, q2, P.x, P.y)
+        return T.f12_mul(p, xi, f, l)
+    if curve.name.startswith("bls12"):
+        # BLS optimal ate: f_{|x|,Q}(P), conjugated when x < 0
+        f, _ = _miller_ate(curve, P, Qq, abs(x))
+        return T.f12_conj(p, f) if x < 0 else f
+    raise ValueError(curve.name)
+
+
+@functools.lru_cache(maxsize=None)
+def _hard_part_digits(curve: CurveSpec) -> tuple:
+    """(p^4 - p^2 + 1)/r in base p: f^hard = prod_i frob(f, i)^digit_i."""
+    q = curve.fq.p
+    e = (q ** 4 - q ** 2 + 1) // curve.fr.p
+    digits = []
+    while e:
+        digits.append(e % q)
+        e //= q
+    return tuple(digits)
+
+
+def final_exponentiation(curve: CurveSpec, f):
+    """f^((q^12-1)/r): easy part, then base-p multi-exp for the hard part."""
+    p, xi = curve.fq.p, _xi(curve)
+    # easy: f^((p^6-1)(p^2+1))
+    f = T.f12_mul(p, xi, T.f12_conj(p, f), T.f12_inv(p, xi, f))
+    f = T.f12_mul(p, xi, T.f12_frobenius(p, xi, f, 2), f)
+    # hard: shared-squaring multi-exponentiation over Frobenius powers of f
+    digits = _hard_part_digits(curve)
+    bases = [f]
+    for i in range(1, len(digits)):
+        bases.append(T.f12_frobenius(p, xi, f, i))
+    acc = T.F12_ONE
+    for bit in range(max(d.bit_length() for d in digits) - 1, -1, -1):
+        acc = T.f12_sqr(p, xi, acc)
+        for d, b in zip(digits, bases):
+            if (d >> bit) & 1:
+                acc = T.f12_mul(p, xi, acc, b)
+    return acc
+
+
+def pairing_tate(curve: CurveSpec, P: AffinePoint, Q: G2Point):
+    """Reduced Tate pairing (slow; retained as a correctness oracle)."""
     p, xi = curve.fq.p, _xi(curve)
     if P.inf or Q.inf:
         return T.F12_ONE
     Qx, Qy = untwist(curve, Q)
     f = _miller_tate(curve, P, Qx, Qy)
     return T.f12_pow(p, xi, f, _final_exponent(curve))
+
+
+def pairing(curve: CurveSpec, P: AffinePoint, Q: G2Point):
+    """Reduced optimal ate pairing e(P, Q) in Fq12 (arkworks-compatible)."""
+    if P.inf or Q.inf:
+        return T.F12_ONE
+    return final_exponentiation(curve, _ate_miller_full(curve, P, Q))
 
 
 def multi_pairing(curve: CurveSpec, g1s: list, g2s: list):
@@ -221,9 +337,8 @@ def multi_pairing(curve: CurveSpec, g1s: list, g2s: list):
     for P, Q in zip(g1s, g2s):
         if P.inf or Q.inf:
             continue
-        Qx, Qy = untwist(curve, Q)
-        f = T.f12_mul(p, xi, f, _miller_tate(curve, P, Qx, Qy))
-    return T.f12_pow(p, xi, f, _final_exponent(curve))
+        f = T.f12_mul(p, xi, f, _ate_miller_full(curve, P, Q))
+    return final_exponentiation(curve, f)
 
 
 def pairing_check(curve: CurveSpec, g1s: list, g2s: list) -> bool:

@@ -169,15 +169,17 @@ def distributed_msm(spec: FieldSpec, points, scalars, mesh: Mesh, axis: str,
     d = mesh.shape[axis]
 
     def body(xb, yb, infb, sb):
-        digits = M._window_digits(sb, c)
-        wsums = M._msm_jobs(spec, (xb, yb, infb), digits, c, 8)  # tuple [L, W]
+        # full local MSM over this shard's point partition (v4 pipeline),
+        # then all_gather the d partial results and jac-tree reduce
+        n_loc = sb.shape[-1]
+        C = M._pick_C(((n_loc + 127) // 128) * 128)
+        local = M._msm_batch_jit(spec, (xb, yb, infb), sb[None], c, C, False)
         gathered = tuple(
-            jax.lax.all_gather(t, axis, axis=0, tiled=False) for t in wsums)
-        # reduce over the device axis (d is small and static)
-        acc = tuple(t[0] for t in gathered)
+            jax.lax.all_gather(t, axis, axis=0, tiled=False) for t in local)
+        acc = tuple(t[0] for t in gathered)          # [L, 1]
         for i in range(1, d):
             acc = E.jac_add(spec, acc, tuple(t[i] for t in gathered))
-        return acc  # [L, W]
+        return acc  # [L, 1] replicated
 
     fn = shard_map(
         body, mesh=mesh,
@@ -186,6 +188,5 @@ def distributed_msm(spec: FieldSpec, points, scalars, mesh: Mesh, axis: str,
         check_vma=False,  # result is replicated by construction (all_gather+reduce)
     )
     x, y, inf = points
-    wsums = jax.jit(fn)(x, y, inf, scalars)
-    res = M._combine_windows(spec, tuple(t[:, None, :] for t in wsums), c)
+    res = jax.jit(fn)(x, y, inf, scalars)
     return tuple(t[:, 0] for t in res)

@@ -241,3 +241,118 @@ def verify_open(vk: OpenKey, comm: AffinePoint, z: int, value: int,
     b = ec_add(p, ec_mul(p, proof, z % curve.fr.p), comm)
     b = ec_add(p, b, ec_neg(p, ec_mul(p, vk.g, value % curve.fr.p)))
     return PR.pairing_check(curve, [proof, ec_neg(p, b)], [vk.beta_h, vk.h])
+
+
+# ---------------------------------------------------------------------------
+# batch open / batch verify (reference univariate_kzg/mod.rs:180-270)
+# ---------------------------------------------------------------------------
+
+def batch_open(ck: CommitKey, polys: list, points: list):
+    """Open poly_i at point_i: one batched quotient-commit MSM.
+
+    Mirror of `UnivariateKzgPCS::batch_open` (univariate_kzg/mod.rs:180-213).
+    Returns (proofs: [AffinePoint], evals: [int])."""
+    fr = ck.curve.fr
+    if len(polys) != len(points):
+        raise ValueError("polys/points length mismatch")
+    quotients, evals = [], []
+    for coeffs, z in zip(polys, points):
+        zd = fr.to_device([z % fr.p])[:, 0]
+        q, r = P.divide_by_linear(fr, coeffs, zd)
+        quotients.append(q)
+        evals.append(fr.from_device(r.reshape(fr.num_limbs, 1))[0])
+    proofs = commit_batch(ck, quotients)
+    return proofs, evals
+
+
+def batch_verify(vk: OpenKey, comms: list, points: list, values: list,
+                 proofs: list, rng) -> bool:
+    """Random-combiner aggregation into ONE 2-pairing check
+    (univariate_kzg/mod.rs:223-270): with 128-bit randomizers r_i,
+    e(sum r_i(W_i z_i + C_i - v_i g), h) == e(sum r_i W_i, beta_h)."""
+    from ..utils.ec_host import ec_msm_fast
+    curve = vk.curve
+    p, r_mod = curve.fq.p, curve.fr.p
+    c_pts, c_scs = [], []
+    w_pts, w_scs = [], []
+    g_mult = 0
+    randomizer = 1
+    for comm, z, v, w in zip(comms, points, values, proofs):
+        c_pts += [w, comm]
+        c_scs += [randomizer * z % r_mod, randomizer]
+        w_pts.append(w)
+        w_scs.append(randomizer)
+        g_mult = (g_mult + randomizer * v) % r_mod
+        randomizer = rng.getrandbits(128)
+    c_pts.append(vk.g)
+    c_scs.append((-g_mult) % r_mod)
+    total_c = ec_msm_fast(p, c_pts, c_scs, order=r_mod)
+    total_w = ec_msm_fast(p, w_pts, w_scs, order=r_mod)
+    return PR.pairing_check(curve, [ec_neg(p, total_w), total_c],
+                            [vk.beta_h, vk.h])
+
+
+# ---------------------------------------------------------------------------
+# FK23 amortized multi-open at roots of unity
+# (reference pcs/mod.rs:228-309, univariate_kzg/mod.rs:296-376)
+# ---------------------------------------------------------------------------
+
+def checked_fft_size(degree: int) -> int:
+    """pcs/mod.rs:310-330."""
+    if degree & (degree - 1) == 0 and degree > 0:
+        return degree * 2
+    return 1 << (degree - 1).bit_length()
+
+
+def multi_open_rou_eval_domain(curve: CurveSpec, degree: int,
+                               num_points: int):
+    """pcs/mod.rs:259-276 (Radix2 domains round up to a power of two)."""
+    from ..ops.ntt import Domain
+    size = max(checked_fft_size(degree) + 1, num_points)
+    n = 1 << (size - 1).bit_length()
+    return Domain(curve.fr, n)
+
+
+def _compute_h_poly_fk23(ck: CommitKey, coeffs_mont: jnp.ndarray):
+    """FK23 Sec 2.2 (univariate_kzg/mod.rs:336-376): h = Toeplitz(coeffs) @
+    reversed SRS powers.  Returns a jacobian G1 vector [L, padded_degree]."""
+    from ..ops import group_ntt as GN
+    fq, fr = ck.curve.fq, ck.curve.fr
+    coeffs = fr.from_device(coeffs_mont)
+    d = len(coeffs) - 1
+    padded_degree = 1 if d <= 1 else 1 << (d - 1).bit_length()
+    coeffs = coeffs + [0] * (padded_degree + 1 - len(coeffs))
+    toep_col = [coeffs[-1]] + [0] * (padded_degree - 1)
+    toep_row = list(reversed(coeffs[1:]))
+    x, y, inf = ck.powers_of_g
+    srs = (x[..., :padded_degree], y[..., :padded_degree])
+    srs = tuple(jnp.flip(t, axis=-1) for t in srs)
+    one = F.ones(fq, (padded_degree,))
+    srs_jac = (srs[0], srs[1], one)        # SRS points are never infinity
+    return GN.toeplitz_group_mul(fq, fr, toep_col, toep_row, srs_jac)
+
+
+def multi_open_rou(ck: CommitKey, coeffs_mont: jnp.ndarray, num_points: int,
+                   domain) -> tuple:
+    """Open one poly at the first `num_points` roots of unity of `domain`
+    with O(n log n) group ops (pcs/mod.rs:279-300).
+
+    Returns (proofs: [AffinePoint], evals: [int])."""
+    from ..ops import group_ntt as GN
+    from ..ops import ntt as N
+    fq, fr = ck.curve.fq, ck.curve.fr
+    h = _compute_h_poly_fk23(ck, coeffs_mont)
+    m = h[0].shape[-1]
+    if m < domain.n:
+        pad = E.jac_infinity(fq, (domain.n - m,))
+        h = tuple(jnp.concatenate([t, pd], axis=-1) for t, pd in zip(h, pad))
+    proofs_jac = GN.group_ntt(fq, fr, domain, h)
+    proofs_jac = tuple(t[..., :num_points] for t in proofs_jac)
+    proofs = E.affine_from_device(fq, E.jac_to_affine(fq, proofs_jac))
+    n = coeffs_mont.shape[-1]
+    padded = coeffs_mont
+    if n < domain.n:
+        padded = jnp.concatenate(
+            [coeffs_mont, F.zeros(fr, (domain.n - n,))], axis=-1)
+    evals = fr.from_device(N.ntt(domain, padded))[:num_points]
+    return proofs, evals

@@ -122,3 +122,117 @@ class RescueTranscript(SolidityTranscript):
         self._state_f = state
         self.transcript = bytearray()
         return state[0] % self.curve.fr.p
+
+
+# ---------------------------------------------------------------------------
+# Merlin StandardTranscript (reference transcript/standard.rs:16-46)
+# ---------------------------------------------------------------------------
+
+class _Strobe128:
+    """STROBE-128 over keccak-f[1600] — the duplex construction under
+    Merlin (merlin::strobe::Strobe128; rate 166 bytes)."""
+
+    R = 166
+    _FLAG_I, _FLAG_A, _FLAG_C, _FLAG_T, _FLAG_M, _FLAG_K = 1, 2, 4, 8, 16, 32
+
+    def __init__(self, protocol_label: bytes):
+        st = bytearray(200)
+        st[0:6] = bytes([1, self.R + 2, 1, 0, 1, 96])
+        st[6:18] = b"STROBEv1.0.2"
+        self.state = self._f(st)
+        self.pos = 0
+        self.pos_begin = 0
+        self.cur_flags = 0
+        self.meta_ad(protocol_label, False)
+
+    @staticmethod
+    def _f(st: bytearray) -> bytearray:
+        from ..utils.keccak import _keccak_f
+        lanes = [[int.from_bytes(st[8 * (5 * y + x):8 * (5 * y + x) + 8],
+                                 "little") for y in range(5)]
+                 for x in range(5)]
+        _keccak_f(lanes)
+        out = bytearray(200)
+        for x in range(5):
+            for y in range(5):
+                out[8 * (5 * y + x):8 * (5 * y + x) + 8] = \
+                    lanes[x][y].to_bytes(8, "little")
+        return out
+
+    def _run_f(self):
+        self.state[self.pos] ^= self.pos_begin
+        self.state[self.pos + 1] ^= 0x04
+        self.state[self.R + 1] ^= 0x80
+        self.state = self._f(self.state)
+        self.pos = 0
+        self.pos_begin = 0
+
+    def _absorb(self, data: bytes):
+        for b in data:
+            self.state[self.pos] ^= b
+            self.pos += 1
+            if self.pos == self.R:
+                self._run_f()
+
+    def _squeeze(self, n: int) -> bytes:
+        out = bytearray()
+        for _ in range(n):
+            out.append(self.state[self.pos])
+            self.state[self.pos] = 0
+            self.pos += 1
+            if self.pos == self.R:
+                self._run_f()
+        return bytes(out)
+
+    def _begin_op(self, flags: int, more: bool):
+        if more:
+            assert flags == self.cur_flags
+            return
+        assert not (flags & self._FLAG_T), "transport not supported"
+        old_begin = self.pos_begin
+        self.pos_begin = self.pos + 1
+        self.cur_flags = flags
+        self._absorb(bytes([old_begin, flags]))
+        if (flags & (self._FLAG_C | self._FLAG_K)) and self.pos != 0:
+            self._run_f()
+
+    def meta_ad(self, data: bytes, more: bool):
+        self._begin_op(self._FLAG_M | self._FLAG_A, more)
+        self._absorb(data)
+
+    def ad(self, data: bytes, more: bool):
+        self._begin_op(self._FLAG_A, more)
+        self._absorb(data)
+
+    def prf(self, n: int, more: bool) -> bytes:
+        self._begin_op(self._FLAG_I | self._FLAG_A | self._FLAG_C, more)
+        return self._squeeze(n)
+
+
+class StandardTranscript(SolidityTranscript):
+    """Merlin transcript (reference `transcript/standard.rs:16-46`) — the
+    reference API's default transcript.  Labels are significant here (unlike
+    the Solidity transcript)."""
+
+    def __init__(self, curve: CurveSpec, label: bytes = b"PlonkProof"):
+        super().__init__(curve, label)
+        self._strobe = _Strobe128(b"Merlin v1.0")
+        self._merlin_append(b"dom-sep", label)
+
+    def _merlin_append(self, label: bytes, msg: bytes):
+        self._strobe.meta_ad(label, False)
+        self._strobe.meta_ad(len(msg).to_bytes(4, "little"), True)
+        self._strobe.ad(msg, False)
+
+    def append_message(self, label: bytes, msg: bytes):
+        self._merlin_append(label, msg)
+
+    def get_and_append_challenge(self, label: bytes) -> int:
+        """standard.rs:33-46: 64 challenge bytes -> Fr (LE mod order),
+        then the serialized challenge is appended back."""
+        self._strobe.meta_ad(label, False)
+        self._strobe.meta_ad((64).to_bytes(4, "little"), True)
+        buf = self._strobe.prf(64, False)
+        challenge = int.from_bytes(buf, "little") % self.curve.fr.p
+        self.append_message(label, field_to_bytes(self.curve.fr, challenge))
+        return challenge

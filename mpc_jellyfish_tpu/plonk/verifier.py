@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ..curves import CurveSpec
-from ..utils.ec_host import AffinePoint, ec_add, ec_mul, ec_neg
+from ..utils.ec_host import AffinePoint, ec_msm_fast, ec_neg
 from .. import pairing as PR
 from .structs import BatchProof, Challenges, VerifyingKey
 from .structs import eval_merged_lookup_witness, eval_merged_table
@@ -37,10 +37,8 @@ class ScalarsAndBases:
             self.pairs.append((s * scale % p, b))
 
     def multi_scalar_mul(self, fq_p: int, fr_p: int) -> AffinePoint:
-        acc = AffinePoint.infinity()
-        for (s, b) in self.pairs:
-            acc = ec_add(fq_p, acc, ec_mul(fq_p, b, s % fr_p))
-        return acc
+        return ec_msm_fast(fq_p, [b for _, b in self.pairs],
+                           [s for s, _ in self.pairs], order=fr_p)
 
 
 @dataclass

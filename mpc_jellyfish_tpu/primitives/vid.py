@@ -97,14 +97,17 @@ class Advz:
                 agg[t] = (agg[t] + rj * coeff) % p
             rj = rj * r % p
         agg_dev = spec.to_device(agg)
+        # FK23 amortized openings at all node points (reference advz.rs
+        # `multi_open_rou`, pcs/mod.rs:281): O(k log k) group ops instead of
+        # one quotient MSM per storage node.
+        proofs, _ = kzg.multi_open_rou(self.ck, agg_dev, self.n_nodes,
+                                       self.domain)
         shares = []
         for i in range(self.n_nodes):
-            pt = self.domain.elements_host[i]
-            proof, _ = kzg.open_at(self.ck, agg_dev, pt)
             shares.append(VidShare(
                 index=i,
                 evals=[evals_per_poly[j][i] for j in range(len(chunks))],
-                aggregate_proof=proof,
+                aggregate_proof=proofs[i],
             ))
         return shares, VidCommon(poly_comms=comms, num_elems=num_elems)
 

@@ -11,7 +11,19 @@ prover never touches extension fields.
 
 from __future__ import annotations
 
-# Fq2 element: (c0, c1) meaning c0 + c1*u, u^2 = -1.
+# Fq2 element: (c0, c1) meaning c0 + c1*u, u^2 = beta.  beta defaults to -1
+# (BN254, BLS12-381); other curves register theirs via `set_beta`
+# (BLS12-377: u^2 = -5).
+
+_BETA: dict = {}
+
+
+def set_beta(p: int, beta: int):
+    _BETA[p] = beta % p
+
+
+def _beta(p: int) -> int:
+    return _BETA.get(p, p - 1)
 
 
 def f2_add(p, a, b):
@@ -27,11 +39,11 @@ def f2_neg(p, a):
 
 
 def f2_mul(p, a, b):
-    # (a0 + a1 u)(b0 + b1 u) = a0b0 - a1b1 + (a0b1 + a1b0) u
+    # (a0 + a1 u)(b0 + b1 u) = a0b0 + beta a1b1 + (a0b1 + a1b0) u
     t0 = a[0] * b[0] % p
     t1 = a[1] * b[1] % p
     t2 = (a[0] + a[1]) * (b[0] + b[1]) % p
-    return ((t0 - t1) % p, (t2 - t0 - t1) % p)
+    return ((t0 + _beta(p) * t1) % p, (t2 - t0 - t1) % p)
 
 
 def f2_scalar(p, a, k: int):
@@ -39,8 +51,8 @@ def f2_scalar(p, a, k: int):
 
 
 def f2_inv(p, a):
-    # 1/(a0 + a1 u) = (a0 - a1 u)/(a0^2 + a1^2)
-    norm = (a[0] * a[0] + a[1] * a[1]) % p
+    # 1/(a0 + a1 u) = (a0 - a1 u)/(a0^2 - beta a1^2)
+    norm = (a[0] * a[0] - _beta(p) * a[1] * a[1]) % p
     ninv = pow(norm, -1, p)
     return (a[0] * ninv % p, (-a[1]) * ninv % p)
 
@@ -120,7 +132,14 @@ def f12_mul(p, xi, a, b):
 
 
 def f12_sqr(p, xi, a):
-    return f12_mul(p, xi, a, a)
+    # complex squaring: c0 = (a0+a1)(a0+v*a1) - t - v*t, c1 = 2t, t = a0*a1
+    a0, a1 = a
+    t = f6_mul(p, xi, a0, a1)
+    va1 = f6_mul_by_v(p, xi, a1)
+    c0 = f6_mul(p, xi, f6_add(p, a0, a1), f6_add(p, a0, va1))
+    c0 = f6_sub(p, c0, f6_add(p, t, f6_mul_by_v(p, xi, t)))
+    c1 = f6_add(p, t, t)
+    return (c0, c1)
 
 
 def f12_inv(p, xi, a):
@@ -141,6 +160,62 @@ def f12_pow(p, xi, a, e: int):
         base = f12_sqr(p, xi, base)
         e >>= 1
     return result
+
+
+def f2_conj(p, a):
+    """a^p in Fq2 (u -> -u)."""
+    return (a[0], (-a[1]) % p)
+
+
+def f2_pow(p, a, e: int):
+    r, b = (1, 0), a
+    while e:
+        if e & 1:
+            r = f2_mul(p, r, b)
+        b = f2_mul(p, b, b)
+        e >>= 1
+    return r
+
+
+def f12_conj(p, a):
+    """a^(p^6): negate the odd-w part (cyclotomic inverse after easy part)."""
+    return (a[0], f6_neg(p, a[1]))
+
+
+def _f12_coeffs(a):
+    """Fq2 coefficients of w^0..w^5 (w^2 = v)."""
+    a0, a1 = a
+    return [a0[0], a1[0], a0[1], a1[1], a0[2], a1[2]]
+
+
+def _f12_from_coeffs(c):
+    return ((c[0], c[2], c[4]), (c[1], c[3], c[5]))
+
+
+_FROB_G: dict = {}
+
+
+def _frob_gammas(p, xi):
+    """g^j for j=0..5 with g = xi^((p-1)/6): the w^j Frobenius twists."""
+    key = (p, xi)
+    if key not in _FROB_G:
+        g = f2_pow(p, xi, (p - 1) // 6)
+        out = [(1, 0)]
+        for _ in range(5):
+            out.append(f2_mul(p, out[-1], g))
+        _FROB_G[key] = out
+    return _FROB_G[key]
+
+
+def f12_frobenius(p, xi, a, n: int = 1):
+    """a^(p^n) via coefficient-wise conjugation + gamma scaling
+    (w^p = xi^((p-1)/6) * w; requires 6 | p-1, true for BN254/BLS12-381)."""
+    g = _frob_gammas(p, xi)
+    for _ in range(n):
+        cs = _f12_coeffs(a)
+        cs = [f2_mul(p, f2_conj(p, c), g[j]) for j, c in enumerate(cs)]
+        a = _f12_from_coeffs(cs)
+    return a
 
 
 def f12_scalar_base(p, k: int):

@@ -74,7 +74,7 @@ def test_msm_vs_host(n):
         ss[4] = fr.p - 1                   # max scalar
     pd = E.affine_to_device(fq, pts)
     sd = scalars_to_device(ss)
-    res = M.msm(fq, pd, sd, c=8)
+    res = M.msm(fq, pd, sd, c=8, force_device=True)
     got = E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
     want = H.ec_msm(fq.p, pts, ss)
     assert got == want
@@ -90,7 +90,7 @@ def test_msm_chunked_vs_host(n, c, lanes):
         ss[i] = ss[0]
     pd = E.affine_to_device(fq, pts)
     sd = scalars_to_device(ss)
-    res = M.msm(fq, pd, sd, c=c, lanes=lanes)
+    res = M.msm(fq, pd, sd, c=c, lanes=lanes, force_device=True)
     got = E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
     want = H.ec_msm(fq.p, pts, ss)
     assert got == want
@@ -102,7 +102,7 @@ def test_msm_batch_vs_host():
     pd = E.affine_to_device(fq, pts)
     sss = [[rng.randrange(fr.p) for _ in range(n)] for _ in range(3)]
     sds = [scalars_to_device(ss) for ss in sss]
-    res = M.msm_batch(fq, pd, sds, c=8, lanes=8)
+    res = M.msm_batch(fq, pd, sds, c=8, lanes=8, force_device=True)
     got = E.affine_from_device(fq, E.jac_to_affine(fq, res))
     for i, ss in enumerate(sss):
         assert got[i] == H.ec_msm(fq.p, pts, ss)
@@ -114,6 +114,6 @@ def test_msm_cross_limb_windows():
     ss = [rng.randrange(fr.p) for _ in range(n)]
     pd = E.affine_to_device(fq, pts)
     sd = scalars_to_device(ss)
-    res = M.msm(fq, pd, sd, c=13, lanes=8)
+    res = M.msm(fq, pd, sd, c=13, lanes=8, force_device=True)
     got = E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
     assert got == H.ec_msm(fq.p, pts, ss)
