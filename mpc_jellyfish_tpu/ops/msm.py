@@ -475,8 +475,10 @@ def _msm_batch_jit(spec: FieldSpec, points, scalars, c: int, C: int,
     k, Lr, n = scalars.shape
     L = spec.num_limbs
     W = num_windows(Lr, c)
+    RB = 2   # row block of the Pallas scan kernel: R must divide evenly
     R0 = n // C if n % C == 0 else n // C + 1
-    n_pad = C * max(R0, 1)
+    R0 = (max(R0, 1) + RB - 1) // RB * RB
+    n_pad = C * R0
     if n_pad != n:
         pad = n_pad - n
         x = jnp.concatenate([x, F.ones(spec, (pad,))], axis=1)

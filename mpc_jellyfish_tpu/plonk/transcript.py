@@ -90,38 +90,89 @@ class SolidityTranscript:
         return int.from_bytes(self.state[:48], "little") % self.curve.fr.p
 
 
-class RescueTranscript(SolidityTranscript):
-    """Rescue-sponge transcript over the curve's BASE field
-    (reference `transcript/rescue.rs:36-55`; used by the recursion gadget).
+class RescueTranscript:
+    """Rescue-sponge transcript over the curve's BASE field — exact mirror
+    of `transcript/rescue.rs:26-190` (the recursion gadget replays it
+    in-circuit, so structure is bit-parity-critical):
 
-    Same append interface as the Solidity transcript (bytes accumulate);
-    challenges are squeezed with a Rescue sponge over Fq and reduced into Fr.
+    - transcript: append-only list of Fq elements;
+    - commitments absorbed as TE coordinates (SW->TE conversion);
+    - vk absorption drops sizes/separators (rescue.rs:66-74);
+    - challenge: tmp[0..4] = VariableLengthRescueCRHF(state ++ transcript),
+      challenge = low-bytes mask of tmp[0] into Fr, state = tmp,
+      transcript = [challenge].
     """
 
     def __init__(self, curve: CurveSpec, label: bytes = b"PlonkProof"):
-        super().__init__(curve, label)
-        from ..primitives.rescue import RescueParams, STATE_SIZE
-        self._params = RescueParams(curve.fq)
-        self._state_f = [0] * STATE_SIZE
+        from ..primitives.rescue import RescueCRHF, STATE_SIZE
+        self.curve = curve
+        self._crhf = RescueCRHF(curve.fq)
+        self.transcript: list = []
+        self._state = [0] * STATE_SIZE
+
+    def _sw_to_te(self, comm):
+        from ..relation.gadgets.conversion import (BLS12_377_FQ_SW_TE,
+                                                   convert_sw_to_te)
+        fq = self.curve.fq
+        if getattr(comm, "inf", False):
+            return (0, 1)
+        if self.curve.name == "bls12_377":
+            return convert_sw_to_te(BLS12_377_FQ_SW_TE, comm.x, comm.y)
+        # curves without a TE-form G1 (reference dummy impls,
+        # conversion.rs:100-120): absorb the SW coordinates directly
+        return (comm.x % fq.p, comm.y % fq.p)
+
+    def append_message(self, label: bytes, msg: bytes):
+        """rescue.rs:96-104 (labels dropped; bytes -> field elements)."""
+        from ..utils.conversion import bytes_to_field_elements
+        self.transcript.extend(bytes_to_field_elements(self.curve.fq.p, msg))
+
+    def append_field(self, label: bytes, v: int):
+        """field_switching of an Fr element into Fq (rescue.rs:130-136)."""
+        self.transcript.append(v % self.curve.fq.p)
+
+    def append_commitment(self, label: bytes, comm):
+        ex, ey = self._sw_to_te(comm)
+        self.transcript.append(ex)
+        self.transcript.append(ey)
+
+    def append_commitments(self, label: bytes, comms):
+        for c in comms:
+            self.append_commitment(label, c)
+
+    def append_vk_and_pub_input(self, vk, pub_input):
+        """rescue.rs:56-93: only selector comms, sigma comms, public input."""
+        for c in vk.selector_comms:
+            self.append_commitment(b"selector", c)
+        for c in vk.sigma_comms:
+            self.append_commitment(b"sigma", c)
+        for e in pub_input:
+            self.transcript.append(e % self.curve.fq.p)
+
+    def append_proof_evaluations(self, evals):
+        for w in evals.wires_evals:
+            self.append_field(b"", w)
+        for s in evals.wire_sigma_evals:
+            self.append_field(b"", s)
+        self.append_field(b"", evals.perm_next_eval)
+
+    def append_plookup_evaluations(self, evals):
+        """rescue.rs:154-166 (evals_vec then next_evals_vec)."""
+        for e in evals.evals_vec():
+            self.append_field(b"", e)
+        for e in evals.next_evals_vec():
+            self.append_field(b"", e)
 
     def get_and_append_challenge(self, label: bytes) -> int:
-        from ..primitives.rescue import CRHF_RATE, STATE_SIZE
-        fq = self.curve.fq
-        # absorb pending transcript bytes as base-field elements
-        chunk = (fq.p.bit_length() - 1) // 8
-        data = bytes(self.transcript)
-        elems = [int.from_bytes(data[o:o + chunk], "little")
-                 for o in range(0, len(data), chunk)]
-        state = list(self._state_f)
-        padded = elems + [1]
-        padded += [0] * ((-len(padded)) % CRHF_RATE)
-        for off in range(0, len(padded), CRHF_RATE):
-            for i in range(CRHF_RATE):
-                state[i] = (state[i] + padded[off + i]) % fq.p
-            state = self._params.permute(state)
-        self._state_f = state
-        self.transcript = bytearray()
-        return state[0] % self.curve.fr.p
+        """rescue.rs:168-190."""
+        from ..utils.conversion import fq_to_fr_with_mask
+        from ..primitives.rescue import STATE_SIZE
+        tmp = self._crhf.sponge_with_bit_padding(
+            self._state + self.transcript, STATE_SIZE)
+        challenge = fq_to_fr_with_mask(self.curve.fr.p, tmp[0])
+        self._state = list(tmp)
+        self.transcript = [challenge % self.curve.fq.p]
+        return challenge
 
 
 # ---------------------------------------------------------------------------

@@ -51,14 +51,12 @@ def hash_to_field(p: int, data: bytes, dst: bytes = b"mpc-jellyfish-tpu") -> int
 def bytes_to_field_elements(p: int, data: bytes) -> list:
     """Deterministic, invertible bytes -> field elements encoding
     (conversion.rs:130): length-prefixed, chunked below the modulus size."""
+    if not data:
+        return []          # conversion.rs:137
     chunk = (p.bit_length() - 1) // 8
     out = [len(data)]  # length prefix element
     for off in range(0, len(data), chunk):
         out.append(int.from_bytes(data[off:off + chunk], "little"))
-    if len(data) % chunk == 0 and len(data) > 0:
-        pass
-    if not data:
-        out.append(0)
     return out
 
 

@@ -71,3 +71,22 @@ BABY_JUBJUB = TECurve(
         16950150798460657717958625567821834550301663161624707787222815936182638968203,
     ),
 )
+
+
+# BLS12-377 G1 in twisted-Edwards form (a = -1): the recursion circuit's
+# native curve — inner-curve commitments are converted SW->TE
+# (relation/src/gadgets/ecc/conversion.rs:62-96) and all in-circuit point
+# arithmetic runs on this curve.  (a, d) derived from the published
+# (s, alpha, beta) conversion constants and verified homomorphic.
+BLS12_377_G1_TE = TECurve(
+    name="bls12_377_g1_te",
+    q=258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458177,
+    a=258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458176,
+    d=122268283598675559488486339158635529096981886914877139579534153582033676785385790730042363341236035746924960903179,
+    order=8444461749428370424248824938781546531375899335154063827935233455917409239041,
+    cofactor=30631250834960419227450344600217059328,
+    gen=(
+        71222569531709137229370268896323705690285216175189308202338047559628438110820800641278662592954630774340654489393,
+        6177051365529633638563236407038680211609544222665285371549726196884440490905471891908272386851767077598415378235,
+    ),
+)
