@@ -51,7 +51,10 @@ def upload(spec: FieldSpec, ints: list):
 class Prover:
     """Domain-bound prover state (mirror of prover.rs `Prover`)."""
 
-    def __init__(self, spec: FieldSpec, domain_size: int, num_wire_types: int):
+    def __init__(self, spec: FieldSpec, domain_size: int, num_wire_types: int,
+                 backend=None):
+        from ..parallel.backend import DefaultBackend
+        self.be = backend if backend is not None else DefaultBackend()
         self.spec = spec
         self.n = domain_size
         self.num_wire_types = num_wire_types
@@ -136,7 +139,7 @@ class Prover:
         cur = coeffs.shape[1]
         if cur < self.m:
             coeffs = jnp.concatenate([coeffs, F.zeros(spec, (self.m - cur,))], axis=1)
-        return N.coset_ntt(self.quot_domain, coeffs, self.coset)
+        return self.be.coset_ntt(self.quot_domain, coeffs, self.coset)
 
     # -- round 1 ----------------------------------------------------------
     def run_1st_round(self, ck, wire_values, rng, mask: bool):
@@ -144,14 +147,14 @@ class Prover:
         Returns (comms, polys)."""
         out_len = self.n + 3
         W = wire_values.shape[1]
-        batched = N.intt(self.domain, wire_values)         # [L, W, n]
+        batched = self.be.intt(self.domain, wire_values)         # [L, W, n]
         polys = [batched[:, i] for i in range(W)]
         polys = self._mask_polys(polys, 1, rng, mask, out_len)
-        comms = kzg.commit_batch(ck, polys)
+        comms = self.be.commit_batch(ck, polys)
         return comms, polys
 
     def pub_input_poly(self, pi_values):
-        return N.intt(self.domain, pi_values)
+        return self.be.intt(self.domain, pi_values)
 
     # -- round 2: permutation grand product -------------------------------
     def run_2nd_round(self, ck, wire_values, id_evals, sigma_evals, beta, gamma,
@@ -171,12 +174,12 @@ class Prover:
             num = F.mul(spec, num, F.add(spec, t, F.mul(spec, beta_d, idp)))
             den = F.mul(spec, den, F.add(spec, t, F.mul(spec, beta_d, sg)))
         ratio = F.mul(spec, num, F.inv(spec, den))
-        prod = F.cumprod(spec, ratio, axis=1)
+        prod = self.be.cumprod(spec, ratio)
         z_evals = jnp.concatenate([F.ones(spec, (1,)), prod[:, :self.n - 1]], axis=1)
-        coeffs = N.intt(self.domain, z_evals)
+        coeffs = self.be.intt(self.domain, z_evals)
         coeffs = self._mask_polys([coeffs], 2, rng, mask, self.n + 3,
                                   mask_dev=mask_dev)[0]
-        comm = kzg.commit_batch(ck, [coeffs])[0]
+        comm = self.be.commit_batch(ck, [coeffs])[0]
         return comm, coeffs
 
     # -- rounds 1.5 / 2.5: Plookup ----------------------------------------
@@ -187,10 +190,10 @@ class Prover:
         spec = self.spec
         n = self.n
         sorted_dev = upload(spec, sorted_vec_host)          # [L, 2n-1]
-        h1 = N.intt(self.domain, sorted_dev[:, :n])
-        h2 = N.intt(self.domain, sorted_dev[:, n - 1:])
+        h1 = self.be.intt(self.domain, sorted_dev[:, :n])
+        h2 = self.be.intt(self.domain, sorted_dev[:, n - 1:])
         polys = self._mask_polys([h1, h2], 2, rng, mask, n + 3)
-        comms = kzg.commit_batch(ck, polys)
+        comms = self.be.commit_batch(ck, polys)
         return comms, polys, sorted_dev
 
     def run_plookup_2nd_round(self, ck, challenges: Challenges,
@@ -226,12 +229,12 @@ class Prover:
                   F.add(spec, gb1, F.add(spec, h1_j, F.mul(spec, beta_d, h1_j1))),
                   F.add(spec, gb1, F.add(spec, h2_j, F.mul(spec, beta_d, h2_j1))))
         ratio = F.mul(spec, a, F.inv(spec, b))
-        prod = F.cumprod(spec, ratio, axis=1)               # [L, n-2]
+        prod = self.be.cumprod(spec, ratio)               # [L, n-2]
         z = jnp.concatenate(
             [F.ones(spec, (1,)), prod, F.ones(spec, (1,))], axis=1)  # [L, n]
-        coeffs = N.intt(self.domain, z)
+        coeffs = self.be.intt(self.domain, z)
         coeffs = self._mask_polys([coeffs], 2, rng, mask, n + 3)[0]
-        comm = kzg.commit_batch(ck, [coeffs])[0]
+        comm = self.be.commit_batch(ck, [coeffs])[0]
         return comm, coeffs
 
     # -- round 3: quotient -------------------------------------------------
@@ -276,7 +279,7 @@ class Prover:
         stacked = jnp.stack([
             jnp.concatenate([g, F.zeros(spec, (self.m - g.shape[1],))], axis=1)
             if g.shape[1] < self.m else g for g in group], axis=1)
-        ffts = N.coset_ntt(self.quot_domain, stacked, self.coset)
+        ffts = self.be.coset_ntt(self.quot_domain, stacked, self.coset)
         sel_fft = [ffts[:, i] for i in range(n_sel)]
         off = n_sel
         sigma_fft = [ffts[:, off + i] for i in range(W)]
@@ -407,7 +410,7 @@ class Prover:
         spec = self.spec
         W = self.num_wire_types
         n = self.n
-        coeffs = N.coset_intt(self.quot_domain, quot_evals, self.coset)
+        coeffs = self.be.coset_intt(self.quot_domain, quot_evals, self.coset)
         expected_len = W * (n + 1) + 3   # degree W*(n+1)+2 (prover.rs:1126)
         chunk = n + 2
         polys = []
@@ -435,7 +438,7 @@ class Prover:
 
     def run_3rd_round(self, ck, quot_evals_sum, rng, mask: bool):
         polys = self.quotient_evals_to_split_polys(quot_evals_sum, rng, mask)
-        comms = kzg.commit_batch(ck, polys)
+        comms = self.be.commit_batch(ck, polys)
         return comms, polys
 
     # -- round 4: evaluations ---------------------------------------------
@@ -658,7 +661,7 @@ class Prover:
         batch2 = self._scale_sum(polys2, vpow2, n3)
 
         pts = upload(spec, [zeta, zeta * self.domain.w % p])
-        q1, _ = P.divide_by_linear(spec, batch, pts[:, 0])
-        q2, _ = P.divide_by_linear(spec, batch2, pts[:, 1])
-        comms = kzg.commit_batch(ck, [q1, q2])
+        q1, _ = self.be.divide_by_linear(spec, batch, pts[:, 0])
+        q2, _ = self.be.divide_by_linear(spec, batch2, pts[:, 1])
+        comms = self.be.commit_batch(ck, [q1, q2])
         return comms[0], comms[1]

@@ -47,10 +47,14 @@ class WrongProof(PlonkError):
 class PlonkKzgSnark:
     """TurboPlonk SNARK over a KZG PCS (UltraPlonk arrives with Plookup)."""
 
-    def __init__(self, curve: CurveSpec, transcript_cls=SolidityTranscript):
+    def __init__(self, curve: CurveSpec, transcript_cls=SolidityTranscript,
+                 backend=None):
+        """`backend`: prover kernel backend (parallel/backend.py);
+        None = single-chip, ShardedBackend(mesh) = mesh-parallel."""
         self.curve = curve
         self.spec = curve.fr
         self.transcript_cls = transcript_cls
+        self.backend = backend
 
     # -- setup / preprocess ----------------------------------------------
     def universal_setup_for_testing(self, max_degree: int, seed: int = 0):
@@ -190,7 +194,7 @@ class PlonkKzgSnark:
 
         challenges = Challenges()
         oracles_list = [Oracles() for _ in circuits]
-        prover = Prover(spec, n, num_wire_types)
+        prover = Prover(spec, n, num_wire_types, backend=self.backend)
 
         # Round 1
         wires_poly_comms_vec = []

@@ -157,3 +157,38 @@ class BLSOverBN254:
         for vk in vks[1:]:
             agg_vk = PR.g2_add(self.curve, agg_vk, vk)
         return self.verify(agg_vk, msg, agg_sig)
+
+
+class BLSOverBLS12381(BLSOverBN254):
+    """Min-sig BLS over BLS12-381 (signatures in G1, keys in G2).
+
+    Mirror of `signatures/src/bls_over_bls12381.rs:99-387` (the reference
+    delegates to the `blst` C library with ciphersuite CS_ID_BLS_MIN_SIG).
+    Functional parity: same scheme, key/signature groups, and aggregation
+    API; hash-to-G1 here is try-and-increment with cofactor clearing rather
+    than blst's SSWU map (self-consistent; not byte-compatible with blst).
+    """
+
+    CSID = b"BLS_SIG_BLS12381G1_XMD:SHA-256_SSWU_RO_NUL_"
+    # G1 cofactor h1 = (x-1)^2 / 3
+    _H1 = 0x396C8C005555E1568C00AAAB0000AAAB
+
+    def __init__(self):
+        from ..curves import BLS12_381
+        self.curve = BLS12_381
+
+    def hash_to_g1(self, msg: bytes) -> H.AffinePoint:
+        p = self.curve.fq.p
+        ctr = 0
+        while True:
+            x = hash_to_field(p, msg + ctr.to_bytes(8, "little"), self.CSID)
+            y2 = (x * x * x + self.curve.b) % p
+            if pow(y2, (p - 1) // 2, p) == 1:
+                from ..utils.serialize import _sqrt_mod
+                y = _sqrt_mod(y2, p)
+                if y % 2:
+                    y = p - y
+                pt = H.ec_mul(p, H.AffinePoint(x, y), self._H1)
+                if not pt.inf:
+                    return pt
+            ctr += 1

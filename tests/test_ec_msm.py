@@ -114,6 +114,6 @@ def test_msm_cross_limb_windows():
     ss = [rng.randrange(fr.p) for _ in range(n)]
     pd = E.affine_to_device(fq, pts)
     sd = scalars_to_device(ss)
-    res = M.msm(fq, pd, sd, c=13, lanes=8, force_device=True)
+    res = M.msm(fq, pd, sd, c=11, lanes=8, force_device=True)
     got = E.affine_from_device(fq, E.jac_to_affine(fq, tuple(t[:, None] for t in res)))[0]
     assert got == H.ec_msm(fq.p, pts, ss)

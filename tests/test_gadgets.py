@@ -270,3 +270,26 @@ def test_variable_independence():
     c2 = build(7, 2)
     assert c1.eval_domain_size() == c2.eval_domain_size()
     assert c1.extended_permutation() == c2.extended_permutation()
+
+
+def test_variable_independence():
+    """Two circuits with the same statement but different assignments must
+    have identical extended permutation polynomials
+    (relation/src/gadgets/mod.rs:24-42)."""
+    def build(a, b):
+        cs = PlonkCircuit(FR, ultra_plonk=True, range_bit_len=4)
+        va, vb = cs.create_variable(a), cs.create_variable(b)
+        pub = cs.create_public_variable((a * b + a) % P)
+        m = cs.mul(va, vb)
+        s = cs.add(m, va)
+        cs.enforce_equal(s, pub)
+        cs.enforce_in_range(va, 8)
+        cs.is_lt(va, vb)
+        cs.finalize_for_arithmetization()
+        return cs
+
+    c1 = build(17, 101)
+    c2 = build(23, 255)
+    assert c1.num_gates() == c2.num_gates()
+    assert c1.num_vars == c2.num_vars
+    assert c1.extended_permutation() == c2.extended_permutation()

@@ -129,3 +129,18 @@ def test_conversions():
     assert 0 <= h < p and h != C.hash_to_field(p, b"y")
     stream = C.bytes_to_field(p, data)
     assert C.field_to_bytes(p, stream)[:len(data)] == data
+
+
+def test_bls_over_bls12_381():
+    """Mirror of bls_over_bls12381.rs tests (sign/verify/aggregate)."""
+    from mpc_jellyfish_tpu.primitives.signatures import BLSOverBLS12381
+    s = BLSOverBLS12381()
+    sk, vk = s.key_gen(rng)
+    sk2, vk2 = s.key_gen(rng)
+    sig = s.sign(sk, b"the message")
+    assert s.verify(vk, b"the message", sig)
+    assert not s.verify(vk, b"another message", sig)
+    assert not s.verify(vk2, b"the message", sig)
+    agg = s.aggregate([sig, s.sign(sk2, b"m2")])
+    assert s.aggregate_verify([vk, vk2], [b"the message", b"m2"], agg)
+    assert not s.aggregate_verify([vk2, vk], [b"the message", b"m2"], agg)
