@@ -204,10 +204,18 @@ class MockFabric:
         """Apply a LINEAR [L, *batch] -> [L, *batch'] function to each party's
         share (and mac).  Used for NTT/iNTT/poly padding - linearity makes
         these network-free (SURVEY.md §3.4)."""
+        n_local = a.share.shape[1]
         return Shared(
-            jnp.stack([fn(a.share[:, p]) for p in range(N_PARTIES)], axis=1),
-            jnp.stack([fn(a.mac[:, p]) for p in range(N_PARTIES)], axis=1),
+            jnp.stack([fn(a.share[:, p]) for p in range(n_local)], axis=1),
+            jnp.stack([fn(a.mac[:, p]) for p in range(n_local)], axis=1),
         )
+
+    def open_point(self, fq, jac_local):
+        """Open an EC point share: the mock already holds the full party-sum
+        (commit_shared sums both parties' MSMs), so this just counts the
+        opening round (multiprover_kzg.rs:126-142 network resolution)."""
+        self.n_openings += 1
+        return jac_local
 
     def cumprod(self, a: Shared, axis: int = 1) -> Shared:
         """Grand-product style cumulative product over shares.

@@ -30,6 +30,23 @@ from .fabric import MockFabric, Shared, N_PARTIES
 GATE_WIDTH = 4
 
 
+def commit_shared(fabric, ck, sh: Shared):
+    """Authenticated MSM: per-party MSM over share scalars, point shares
+    opened into one commitment (multiprover_kzg.rs:126-142)."""
+    spec = fabric.spec
+    fq = ck.curve.fq
+    n = sh.share.shape[-1]
+    bases = tuple(t[..., :n] for t in ck.powers_of_g)
+    acc = None
+    for party in range(sh.share.shape[1]):
+        scalars = F.from_mont(spec, sh.share[:, party])
+        pt = M.msm(fq, bases, scalars)
+        acc = pt if acc is None else E.jac_add(fq, acc, pt)
+    opened = fabric.open_point(fq, acc)
+    return E.affine_from_device(
+        fq, E.jac_to_affine(fq, tuple(t[:, None] for t in opened)))[0]
+
+
 class MpcProver:
     """Drives the shared-witness rounds on top of the plaintext `Prover`
     (which supplies domains, cached coset constants and public-poly FFTs)."""
@@ -77,20 +94,7 @@ class MpcProver:
         return fab.add(sh, masked)
 
     def commit_shared(self, ck, sh: Shared):
-        """Authenticated MSM: per-party MSM over share scalars, point shares
-        opened into one commitment (multiprover_kzg.rs:126-142)."""
-        spec = self.spec
-        fq = ck.curve.fq
-        n = sh.share.shape[-1]
-        bases = tuple(t[..., :n] for t in ck.powers_of_g)
-        pts = []
-        for party in range(N_PARTIES):
-            scalars = F.from_mont(spec, sh.share[:, party])
-            pts.append(M.msm(fq, bases, scalars))
-        opened = E.jac_add(fq, pts[0], pts[1])
-        self.fabric.n_openings += 1
-        return E.affine_from_device(
-            fq, E.jac_to_affine(fq, tuple(t[:, None] for t in opened)))[0]
+        return commit_shared(self.fabric, ck, sh)
 
     def eval_shared(self, sh: Shared, z_dev) -> Shared:
         """Share-local polynomial evaluation at a public point."""

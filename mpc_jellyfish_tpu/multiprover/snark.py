@@ -25,6 +25,27 @@ class MultiproverPlonkKzgSnark:
     def prove(self, fabric: MockFabric, circuit: MpcPlonkCircuit, pk,
               mask: bool = True,
               extra_transcript_init_msg: bytes | None = None) -> Proof:
+        proof, _, _ = self._prove_internal(
+            fabric, circuit, pk, mask, extra_transcript_init_msg)
+        return proof
+
+    def prove_with_link_hint(self, fabric: MockFabric,
+                             circuit: MpcPlonkCircuit, pk,
+                             mask: bool = True):
+        """Reference multiprover snark.rs `prove_with_link_hint`: also return
+        the shared linking-wire polynomial + opened commitment."""
+        from ..relation.proof_linking import PROOF_LINK_WIRE_IDX
+        from .proof_linking import MpcLinkingHint
+        proof, wire_polys, wire_comms = self._prove_internal(
+            fabric, circuit, pk, mask, None)
+        hint = MpcLinkingHint(
+            linking_wire_poly=wire_polys[PROOF_LINK_WIRE_IDX],
+            linking_wire_comm=wire_comms[PROOF_LINK_WIRE_IDX])
+        return proof, hint
+
+    def _prove_internal(self, fabric: MockFabric, circuit: MpcPlonkCircuit,
+                        pk, mask: bool = True,
+                        extra_transcript_init_msg: bytes | None = None):
         spec = self.spec
         n = circuit.eval_domain_size()
         W = circuit.num_wire_types
@@ -81,7 +102,7 @@ class MultiproverPlonkKzgSnark:
             pk.commit_key, pk, challenges, wire_polys, z_poly, quot_polys,
             poly_evals)
 
-        return Proof(
+        proof = Proof(
             wires_poly_comms=wire_comms,
             prod_perm_poly_comm=z_comm,
             split_quot_poly_comms=quot_comms,
@@ -90,3 +111,4 @@ class MultiproverPlonkKzgSnark:
             poly_evals=poly_evals,
             plookup_proof=None,
         )
+        return proof, wire_polys, wire_comms
