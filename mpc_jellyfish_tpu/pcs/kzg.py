@@ -209,6 +209,16 @@ def commit_batch(ck: CommitKey, polys: list) -> list:
     return out
 
 
+def commit_batch_stacked(ck: CommitKey, scalars: jnp.ndarray) -> list:
+    """Batched commit over PRE-CONVERTED scalars [k, Lr, nck] (normal form,
+    already padded to the commit-key length).  The prover's fused round
+    kernels produce this layout directly so the from_mont/pad prep happens
+    inside the round's single jit instead of as separate dispatches."""
+    fq = ck.curve.fq
+    res = M.msm_batch(fq, ck.powers_of_g, scalars)
+    return E.affine_from_device(fq, E.jac_to_affine(fq, res))
+
+
 def commit(ck: CommitKey, coeffs_mont: jnp.ndarray) -> AffinePoint:
     """Commit to one polynomial (reference univariate_kzg/mod.rs:108-112)."""
     return commit_batch(ck, [coeffs_mont])[0]

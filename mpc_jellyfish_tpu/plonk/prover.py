@@ -141,17 +141,78 @@ class Prover:
             coeffs = jnp.concatenate([coeffs, F.zeros(spec, (self.m - cur,))], axis=1)
         return self.be.coset_ntt(self.quot_domain, coeffs, self.coset)
 
+    # -- fused-round plumbing ----------------------------------------------
+    @functools.cached_property
+    def _fusable(self) -> bool:
+        """Round-level fusion only on the single-chip backend; the sharded
+        backend keeps the eager per-kernel path (its device_put sharding
+        transitions don't belong inside one executable)."""
+        from ..parallel.backend import DefaultBackend
+        return type(self.be) is DefaultBackend
+
+    @staticmethod
+    def _msm_scalars(spec, padded, nck: int):
+        """[L, k, len] Montgomery polys -> [k, L, nck] normal-form MSM
+        scalars (from_mont + zero-pad fused into the round's jit)."""
+        sc = jnp.moveaxis(F.from_mont(spec, padded), 1, 0)
+        cur = sc.shape[-1]
+        if cur < nck:
+            sc = jnp.concatenate(
+                [sc, jnp.zeros(sc.shape[:2] + (nck - cur,), sc.dtype)],
+                axis=-1)
+        return sc
+
+    @staticmethod
+    def _zh_mask(spec, md, n: int, out_len: int):
+        """Z_H(X) * rand(X) as an [L, k, out_len] tensor; md [L, k, b]."""
+        b = md.shape[-1]
+        k = md.shape[1]
+        return jnp.concatenate([
+            F.neg(spec, md),
+            F.zeros(spec, (k, n - b)),
+            md,
+            F.zeros(spec, (k, out_len - n - b)),
+        ], axis=2)
+
     # -- round 1 ----------------------------------------------------------
     def run_1st_round(self, ck, wire_values, rng, mask: bool):
         """wire_values: [L, W, n] eval tensor (one upload for all wires).
         Returns (comms, polys)."""
         out_len = self.n + 3
         W = wire_values.shape[1]
-        batched = self.be.intt(self.domain, wire_values)         # [L, W, n]
-        polys = [batched[:, i] for i in range(W)]
-        polys = self._mask_polys(polys, 1, rng, mask, out_len)
-        comms = self.be.commit_batch(ck, polys)
-        return comms, polys
+        if not self._fusable:
+            batched = self.be.intt(self.domain, wire_values)     # [L, W, n]
+            polys = [batched[:, i] for i in range(W)]
+            polys = self._mask_polys(polys, 1, rng, mask, out_len)
+            comms = self.be.commit_batch(ck, polys)
+            return comms, polys
+
+        # fused: iNTT + masking + from_mont prep in ONE executable, then one
+        # batched MSM - two dispatches for the whole round
+        spec = self.spec
+        n = self.n
+        b = 2
+        md = upload(spec, [rng.randrange(spec.p) for _ in range(W * b)]
+                    if mask else [0] * (W * b)).reshape(spec.num_limbs, W, b)
+        nck = ck.powers_of_g[0].shape[1]
+        domain = self.domain
+
+        def fn(wv, md_, tw, br):
+            batched = N._intt_jit(domain, wv, tw, br)
+            padded = jnp.concatenate(
+                [batched, F.zeros(spec, (W, out_len - n))], axis=2)
+            if mask:
+                padded = F.add(spec, padded,
+                               self._zh_mask(spec, md_, n, out_len))
+            return padded, self._msm_scalars(spec, padded, nck)
+
+        from ..utils.aot_cache import cached_jit
+        f = cached_jit(f"r1-{spec.name}-n{n}-W{W}-msk{int(mask)}-nck{nck}",
+                       fn, wire_values, md, domain.twiddles_inv,
+                       domain.bitrev)
+        padded, sc = f(wire_values, md, domain.twiddles_inv, domain.bitrev)
+        comms = kzg.commit_batch_stacked(ck, sc)
+        return comms, [padded[:, i] for i in range(W)]
 
     def pub_input_poly(self, pi_values):
         return self.be.intt(self.domain, pi_values)
@@ -161,25 +222,72 @@ class Prover:
                       rng, mask: bool):
         """Grand product z(X) (reference constraint_system.rs:1197-1223)."""
         spec = self.spec
+        n = self.n
         # one upload: beta, gamma, and the 3 hiding coefficients
-        mask_coeffs = [rng.randrange(spec.p) for _ in range(3)]
+        mask_coeffs = [rng.randrange(spec.p) for _ in range(3)] if mask \
+            else [0, 0, 0]
         bg = upload(spec, [beta, gamma] + mask_coeffs)
-        beta_d = bg[:, :1]
-        gamma_d = bg[:, 1:2]
-        mask_dev = bg[:, 2:5].reshape(spec.num_limbs, 1, 3)
-        num = F.ones(spec, (self.n,))
-        den = F.ones(spec, (self.n,))
-        for w, idp, sg in zip(wire_values, id_evals, sigma_evals):
-            t = F.add(spec, w, gamma_d)
-            num = F.mul(spec, num, F.add(spec, t, F.mul(spec, beta_d, idp)))
-            den = F.mul(spec, den, F.add(spec, t, F.mul(spec, beta_d, sg)))
-        ratio = F.mul(spec, num, F.inv(spec, den))
-        prod = self.be.cumprod(spec, ratio)
-        z_evals = jnp.concatenate([F.ones(spec, (1,)), prod[:, :self.n - 1]], axis=1)
-        coeffs = self.be.intt(self.domain, z_evals)
-        coeffs = self._mask_polys([coeffs], 2, rng, mask, self.n + 3,
-                                  mask_dev=mask_dev)[0]
-        comm = self.be.commit_batch(ck, [coeffs])[0]
+        if not self._fusable:
+            beta_d = bg[:, :1]
+            gamma_d = bg[:, 1:2]
+            mask_dev = bg[:, 2:5].reshape(spec.num_limbs, 1, 3)
+            num = F.ones(spec, (n,))
+            den = F.ones(spec, (n,))
+            for w, idp, sg in zip(wire_values, id_evals, sigma_evals):
+                t = F.add(spec, w, gamma_d)
+                num = F.mul(spec, num, F.add(spec, t, F.mul(spec, beta_d, idp)))
+                den = F.mul(spec, den, F.add(spec, t, F.mul(spec, beta_d, sg)))
+            ratio = F.mul(spec, num, F.inv(spec, den))
+            prod = self.be.cumprod(spec, ratio)
+            z_evals = jnp.concatenate([F.ones(spec, (1,)), prod[:, :n - 1]],
+                                      axis=1)
+            coeffs = self.be.intt(self.domain, z_evals)
+            coeffs = self._mask_polys([coeffs], 2, rng, mask, n + 3,
+                                      mask_dev=mask_dev)[0]
+            comm = self.be.commit_batch(ck, [coeffs])[0]
+            return comm, coeffs
+
+        # fused: num/den accumulation + Fermat inverse + cumprod + iNTT +
+        # masking + MSM prep in ONE executable
+        W = len(wire_values)
+        wv = jnp.stack(list(wire_values), axis=1)
+        idv = jnp.stack(list(id_evals), axis=1)
+        sgv = jnp.stack(list(sigma_evals), axis=1)
+        out_len = n + 3
+        nck = ck.powers_of_g[0].shape[1]
+        domain = self.domain
+
+        def fn(wv_, idv_, sgv_, bg_, tw, br):
+            beta_d = bg_[:, :1]
+            gamma_d = bg_[:, 1:2]
+            md = bg_[:, 2:5].reshape(spec.num_limbs, 1, 3)
+            num = F.ones(spec, (n,))
+            den = F.ones(spec, (n,))
+            for j in range(W):
+                t = F.add(spec, wv_[:, j], gamma_d)
+                num = F.mul(spec, num,
+                            F.add(spec, t, F.mul(spec, beta_d, idv_[:, j])))
+                den = F.mul(spec, den,
+                            F.add(spec, t, F.mul(spec, beta_d, sgv_[:, j])))
+            ratio = F.mul(spec, num, F.inv(spec, den))
+            prod = F.cumprod(spec, ratio, axis=1)
+            z_evals = jnp.concatenate([F.ones(spec, (1,)), prod[:, :n - 1]],
+                                      axis=1)
+            coeffs = N._intt_jit(domain, z_evals, tw, br)
+            padded = jnp.concatenate(
+                [coeffs, F.zeros(spec, (out_len - n,))], axis=1)
+            if mask:
+                padded = F.add(
+                    spec, padded,
+                    self._zh_mask(spec, md, n, out_len)[:, 0])
+            return padded, self._msm_scalars(spec, padded[:, None], nck)
+
+        from ..utils.aot_cache import cached_jit
+        f = cached_jit(f"r2-{spec.name}-n{n}-W{W}-msk{int(mask)}-nck{nck}",
+                       fn, wv, idv, sgv, bg, domain.twiddles_inv,
+                       domain.bitrev)
+        coeffs, sc = f(wv, idv, sgv, bg, domain.twiddles_inv, domain.bitrev)
+        comm = kzg.commit_batch_stacked(ck, sc)[0]
         return comm, coeffs
 
     # -- rounds 1.5 / 2.5: Plookup ----------------------------------------
@@ -259,11 +367,6 @@ class Prover:
             consts = upload(spec, [ch.alpha, ch.beta, ch.gamma,
                                    ch.alpha * ch.alpha % p]
                             + list(pk.vk.k) + extra)
-        alpha = consts[:, 0:1]
-        beta = consts[:, 1:2]
-        gamma = consts[:, 2:3]
-        alpha2 = consts[:, 3:4]
-        ks = [consts[:, 4 + j:5 + j] for j in range(W)]
 
         # ONE batched coset NTT for all polynomials (selectors + sigmas +
         # wires + z + pi [+ lookup tables/oracles]): a single scan over
@@ -276,10 +379,51 @@ class Prover:
             group += [pk.plookup_pk.range_table_poly, pk.plookup_pk.key_table_poly,
                       pk.plookup_pk.table_dom_sep_poly, pk.plookup_pk.q_dom_sep_poly,
                       po.h_polys[0], po.h_polys[1], po.prod_lookup_poly]
+        if self._fusable:
+            # fused: pad+stack + batched coset NTT + the whole gate/copy
+            # (+lookup) evaluation in ONE executable
+            qd = self.quot_domain
+            lens = "_".join(str(g.shape[1]) for g in group)
+
+            def fn(group_, consts_, x_, zh_, i1_, ign_, pows, tw, br):
+                stacked = jnp.stack([
+                    jnp.concatenate(
+                        [g, F.zeros(spec, (self.m - g.shape[1],))], axis=1)
+                    if g.shape[1] < self.m else g for g in group_], axis=1)
+                ffts = N._coset_ntt_jit(qd, stacked, pows, tw, br)
+                return self._quot_from_ffts(ffts, consts_, x_, zh_, i1_,
+                                            ign_, n_sel, lookup)
+
+            from ..utils.aot_cache import cached_jit
+            args = (tuple(group), consts, self.coset_elements,
+                    self.zh_inv_coset, self.inv_n_x_minus_1,
+                    self.inv_n_x_minus_gn, self.coset.pows,
+                    qd.twiddles_fwd, qd.bitrev)
+            f = cached_jit(
+                f"r3a-{spec.name}-m{self.m}-W{W}-lk{int(lookup)}-{lens}"
+                f"-k{consts.shape[1]}", fn, *args)
+            return f(*args)
+
         stacked = jnp.stack([
             jnp.concatenate([g, F.zeros(spec, (self.m - g.shape[1],))], axis=1)
             if g.shape[1] < self.m else g for g in group], axis=1)
         ffts = self.be.coset_ntt(self.quot_domain, stacked, self.coset)
+        return self._quot_from_ffts(ffts, consts, self.coset_elements,
+                                    self.zh_inv_coset, self.inv_n_x_minus_1,
+                                    self.inv_n_x_minus_gn, n_sel, lookup)
+
+    def _quot_from_ffts(self, ffts, consts, coset_x, zh_inv, inv_nx1,
+                        inv_nxgn, n_sel: int, lookup: bool):
+        """Gate + copy-constraint (+ Plookup) terms from the batched coset
+        FFTs; pure function of its tensors (jit-safe for the fused path)."""
+        spec = self.spec
+        W = self.num_wire_types
+        p = spec.p
+        alpha = consts[:, 0:1]
+        beta = consts[:, 1:2]
+        gamma = consts[:, 2:3]
+        alpha2 = consts[:, 3:4]
+        ks = [consts[:, 4 + j:5 + j] for j in range(W)]
         sel_fft = [ffts[:, i] for i in range(n_sel)]
         off = n_sel
         sigma_fft = [ffts[:, off + i] for i in range(W)]
@@ -315,7 +459,7 @@ class Prover:
         t_circ = F.sub(spec, t_circ, F.mul(spec, q_o, w[4]))
 
         # copy constraints (prover.rs:719-759)
-        x = self.coset_elements
+        x = coset_x
         z_next = jnp.roll(z_fft, -self.size_ratio, axis=1)
         term1 = F.mul(spec, alpha, z_fft)
         term2 = F.mul(spec, alpha, z_next)
@@ -330,7 +474,7 @@ class Prover:
 
         one = F.ones(spec, (1,))
         t_perm_2 = F.mul(spec, alpha2,
-                         F.mul(spec, F.sub(spec, z_fft, one), self.inv_n_x_minus_1))
+                         F.mul(spec, F.sub(spec, z_fft, one), inv_nx1))
 
         t1 = F.add(spec, t_circ, t_perm_1)
         t2 = t_perm_2
@@ -377,18 +521,18 @@ class Prover:
             one = F.ones(spec, (1,))
             # t2: Ln(x)*(h1 - h2(wx))*a^3 + L1(x)*(p-1)*a^4 + Ln(x)*(p-1)*a^5
             term_h = F.mul(spec, F.sub(spec, h1_fft, nxt(h2_fft)),
-                           self.inv_n_x_minus_gn)
+                           inv_nxgn)
             t2 = F.add(spec, t2, F.mul(spec, alpha3, term_h))
             pm1 = F.sub(spec, pl_fft, one)
             t2 = F.add(spec, t2, F.mul(spec, alpha4,
-                                       F.mul(spec, pm1, self.inv_n_x_minus_1)))
+                                       F.mul(spec, pm1, inv_nx1)))
             t2 = F.add(spec, t2, F.mul(spec, alpha5,
-                                       F.mul(spec, pm1, self.inv_n_x_minus_gn)))
+                                       F.mul(spec, pm1, inv_nxgn)))
 
             # t1 += a^6 (x - w^{n-1}) [p(x)(1+b)(g+lookup)(g(1+b)+table+b*table_w)
             #                          - p(wx)(g(1+b)+h1+b h1w)(g(1+b)+h2+b h2w)]
             g_inv = pow(self.domain.w, -1, p)
-            x_minus_gn = F.sub(spec, self.coset_elements, _const(spec, g_inv))
+            x_minus_gn = F.sub(spec, coset_x, _const(spec, g_inv))
             lhs = F.mul(spec, pl_fft, beta_plus_one)
             lhs = F.mul(spec, lhs, F.add(spec, gamma, lookup_x))
             lhs = F.mul(spec, lhs, F.add(spec, gb1, F.add(
@@ -402,7 +546,7 @@ class Prover:
             term_p3 = F.mul(spec, x_minus_gn, F.sub(spec, lhs, rhs))
             t1 = F.add(spec, t1, F.mul(spec, alpha6, term_p3))
 
-        quot = F.add(spec, F.mul(spec, t1, self.zh_inv_coset), t2)
+        quot = F.add(spec, F.mul(spec, t1, zh_inv), t2)
         return quot
 
     def quotient_evals_to_split_polys(self, quot_evals, rng, mask: bool):
@@ -437,9 +581,56 @@ class Prover:
         return polys
 
     def run_3rd_round(self, ck, quot_evals_sum, rng, mask: bool):
-        polys = self.quotient_evals_to_split_polys(quot_evals_sum, rng, mask)
-        comms = self.be.commit_batch(ck, polys)
-        return comms, polys
+        if not self._fusable:
+            polys = self.quotient_evals_to_split_polys(quot_evals_sum, rng,
+                                                       mask)
+            comms = self.be.commit_batch(ck, polys)
+            return comms, polys
+
+        # fused: coset iNTT + split + hiding chain + MSM prep in ONE
+        # executable (prover.rs:890-959)
+        spec = self.spec
+        W = self.num_wire_types
+        n = self.n
+        bd = upload(spec, [rng.randrange(spec.p) for _ in range(W - 1)]
+                    if mask else [0] * (W - 1))
+        nck = ck.powers_of_g[0].shape[1]
+        qd = self.quot_domain
+
+        def fn(qe, bd_, pows_inv, tw, br):
+            coeffs = N._coset_intt_jit(qd, qe, pows_inv, tw, br)
+            expected_len = W * (n + 1) + 3
+            chunk = n + 2
+            polys = []
+            for i in range(W):
+                end = (i + 1) * chunk if i < W - 1 else expected_len
+                piece = coeffs[:, i * chunk:end]
+                pad = n + 3 - piece.shape[1]
+                if pad > 0:
+                    piece = jnp.concatenate(
+                        [piece, F.zeros(spec, (pad,))], axis=1)
+                polys.append(piece)
+            if mask:
+                for i in range(W - 1):
+                    b = bd_[:, i:i + 1]
+                    prev = bd_[:, i - 1:i] if i > 0 else F.zeros(spec, (1,))
+                    polys[i] = polys[i].at[:, :1].set(
+                        F.sub(spec, polys[i][:, :1], prev))
+                    polys[i] = polys[i].at[:, n + 2:n + 3].set(
+                        F.add(spec, polys[i][:, n + 2:n + 3], b))
+                polys[W - 1] = polys[W - 1].at[:, :1].set(
+                    F.sub(spec, polys[W - 1][:, :1], bd_[:, W - 2:W - 1]))
+            st = jnp.stack(polys, axis=1)
+            return st, self._msm_scalars(spec, st, nck)
+
+        from ..utils.aot_cache import cached_jit
+        args = (quot_evals_sum, bd, self.coset.pows_inv, qd.twiddles_inv,
+                qd.bitrev)
+        f = cached_jit(f"r3b-{spec.name}-m{self.m}-n{n}-W{W}"
+                       f"-msk{int(mask)}-nck{nck}", fn, *args)
+        st, sc = f(*args)
+        comms = kzg.commit_batch_stacked(ck, sc)
+        return comms, [st[:, i] for i in range(W)]
 
     # -- round 4: evaluations ---------------------------------------------
     def compute_evaluations(self, pk, challenges: Challenges, oracles: Oracles):
