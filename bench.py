@@ -48,54 +48,83 @@ def build_circuit(spec, log_n):
     return cs
 
 
-def main():
-    log_n = int(os.environ.get("BENCH_LOG_N", "14"))
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+# reference bench.md:14-17 (24-thread 5900X), ns/constraint
+BASELINES = {"bn254": 23069.0, "bls12_381": 29591.0}
 
-    t0 = time.time()
-    import jax
-    from mpc_jellyfish_tpu.curves import BN254
+
+def bench_size(curve, log_n: int, reps: int, srs=None):
+    """Prove at one size; returns (n, best_prove_s, verify_s, srs)."""
+    import random as _r
     from mpc_jellyfish_tpu.plonk.snark import PlonkKzgSnark
     from mpc_jellyfish_tpu.pcs import kzg
-    log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()} "
-        f"({time.time()-t0:.1f}s import)")
 
     t0 = time.time()
-    cs = build_circuit(BN254.fr, log_n)
+    cs = build_circuit(curve.fr, log_n)
     cs.finalize_for_arithmetization()
     n = cs.eval_domain_size()
     log(f"circuit: {cs.num_gates()} gates, domain n=2^{n.bit_length()-1} "
         f"({time.time()-t0:.1f}s build)")
 
-    snark = PlonkKzgSnark(BN254)
-    t0 = time.time()
-    srs = kzg.universal_setup_for_testing(BN254, cs.srs_size(), seed=3)
-    log(f"srs: {time.time()-t0:.1f}s")
+    snark = PlonkKzgSnark(curve)
+    if srs is None or srs.max_degree < cs.srs_size():
+        t0 = time.time()
+        srs = kzg.universal_setup_for_testing(curve, cs.srs_size(), seed=3)
+        log(f"srs: {time.time()-t0:.1f}s")
     t0 = time.time()
     pk, vk = snark.preprocess(srs, cs)
     log(f"preprocess: {time.time()-t0:.1f}s")
 
     # warmup (compile)
     t0 = time.time()
-    proof = snark.prove(cs, pk, rng=random.Random(0), mask=True)
+    proof = snark.prove(cs, pk, rng=_r.Random(0), mask=True)
     log(f"warmup prove (incl. compile): {time.time()-t0:.1f}s")
 
     times = []
     for r in range(reps):
         t0 = time.time()
-        proof = snark.prove(cs, pk, rng=random.Random(r + 1), mask=True)
+        proof = snark.prove(cs, pk, rng=_r.Random(r + 1), mask=True)
         times.append(time.time() - t0)
         log(f"prove[{r}]: {times[-1]:.2f}s")
 
     t0 = time.time()
     snark.verify(vk, cs.public_input(), proof)
-    log(f"verify: {time.time()-t0:.1f}s (proof accepted)")
+    tv = time.time() - t0
+    log(f"verify: {tv:.3f}s (proof accepted)")
+    return n, min(times), tv, srs
 
-    best = min(times)
-    ns_per_constraint = best * 1e9 / n
-    baseline = 23069.0
+
+def main():
+    log_n = int(os.environ.get("BENCH_LOG_N", "14"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    curve_name = os.environ.get("BENCH_CURVE", "bn254")
+    sweep = os.environ.get("BENCH_SWEEP", "")
+
+    t0 = time.time()
+    import jax
+    from mpc_jellyfish_tpu import curves
+    curve = {"bn254": curves.BN254, "bls12_381": curves.BLS12_381}[curve_name]
+    log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()} "
+        f"({time.time()-t0:.1f}s import)")
+
+    if sweep:
+        # prove/verify sweep (reference plonk/benches/bench.rs:22-60 style);
+        # per-size lines to stderr, driver JSON (largest size) to stdout
+        srs = None
+        results = []
+        for ln in [int(s) for s in sweep.split(",")]:
+            n, tp, tv, srs = bench_size(curve, ln, reps, srs)
+            ns = tp * 1e9 / n
+            log(f"SWEEP {curve_name} n=2^{ln}: prove {tp:.3f}s "
+                f"({ns:.0f} ns/constraint), verify {tv*1000:.1f} ms")
+            results.append((n, ns))
+        n, ns_per_constraint = results[-1]
+    else:
+        n, tp, tv, _ = bench_size(curve, log_n, reps)
+        ns_per_constraint = tp * 1e9 / n
+
+    baseline = BASELINES[curve_name]
     print(json.dumps({
-        "metric": f"turboplonk_prove_ns_per_constraint_bn254_n{n}",
+        "metric": f"turboplonk_prove_ns_per_constraint_{curve_name}_n{n}",
         "value": round(ns_per_constraint, 1),
         "unit": "ns/constraint",
         "vs_baseline": round(baseline / ns_per_constraint, 4),

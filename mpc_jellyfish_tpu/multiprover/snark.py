@@ -54,7 +54,8 @@ class MultiproverPlonkKzgSnark:
         # open public inputs first (snark.rs:82: NETWORK)
         pub_input = circuit.public_input()
 
-        transcript = SolidityTranscript(self.curve)
+        from .transcript import MpcTranscript
+        transcript = MpcTranscript(self.curve, fabric)
         if extra_transcript_init_msg is not None:
             transcript.append_message(EXTRA_TRANSCRIPT_MSG_LABEL,
                                       extra_transcript_init_msg)

@@ -70,6 +70,7 @@ class PlonkKzgSnark:
         domain = N.Domain(spec, n)
 
         ck, open_key = srs.trim(circuit.srs_size())
+        t0 = time.time()
 
         selector_polys = []
         for col in circuit.all_selectors():
@@ -82,8 +83,10 @@ class PlonkKzgSnark:
             evals = spec.to_device(col)
             sigma_evals_dev.append(evals)
             sigma_polys.append(N.intt(domain, evals))
+        t0 = _tr("preprocess: selector/sigma iNTTs", t0)
 
         all_comms = kzg.commit_batch(ck, selector_polys + sigma_polys)
+        t0 = _tr("preprocess: commits", t0)
         selector_comms = all_comms[:len(selector_polys)]
         sigma_comms = all_comms[len(selector_polys):]
 

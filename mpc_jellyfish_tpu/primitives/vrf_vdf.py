@@ -2,6 +2,10 @@
 
 Mirror of `primitives/src/vrf/` (BLS-based VRF, blsvrf.rs:30) and
 `primitives/src/vdf/minroot.rs:37-121` (MinRoot delay function).
+
+ECVRF parity note: the reference's `vrf/ecvrf.rs` is a one-line
+"Place holder for ECVRF" with no implementation; this module mirrors that
+state of the API surface (BLS VRF is the implemented variant in both).
 """
 
 from __future__ import annotations
