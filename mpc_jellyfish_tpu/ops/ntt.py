@@ -208,7 +208,8 @@ def _dif_tpu(spec: FieldSpec, x: jnp.ndarray, dense_tw, log_n: int) -> jnp.ndarr
 
 def _dif_dispatch(domain: Domain, x, twiddles, inverse: bool):
     from . import field as F
-    if F._use_pallas():
+    # Pallas stage kernel needs whole (sublane, 128-lane) half-blocks
+    if F._use_pallas() and domain.n >= 256:
         dense = (domain.twiddles_inv_dense if inverse
                  else domain.twiddles_fwd_dense)
         return _dif_tpu(domain.spec, x, dense, domain.log_n)

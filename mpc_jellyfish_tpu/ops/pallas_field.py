@@ -26,10 +26,26 @@ from ..utils.bigint import LIMB_BITS, LIMB_MASK
 
 BLOCK = 512
 
+# VPU register tile is (8, 128).  Each per-limb vector must be exactly ONE
+# (8, 128) register: smaller wastes sublanes, larger (e.g. (32, 128) = 4
+# registers/value) spills - the CIOS body holds ~65 live limb vectors, and
+# spilling them costs ~180x (measured: coset NTT [L,20,2^17] 305 ms with
+# (L, 512) blocks vs 1.7 ms with (L, 8, 128)).
+LANES = 128
+MAX_SUBS = 8
+
+
+def _pick_subs(rows: int) -> int:
+    """Largest sublane-block <= MAX_SUBS dividing `rows` (= elements/LANES)."""
+    for s in (8, 4, 2, 1):
+        if rows % s == 0:
+            return s
+    return 1
+
 
 def _mont_mul_kernel_body(p_limbs, n0inv, L, a_ref, b_ref, o_ref):
-    a = [a_ref[i, :] for i in range(L)]
-    b = [b_ref[i, :] for i in range(L)]
+    a = [a_ref[i] for i in range(L)]
+    b = [b_ref[i] for i in range(L)]
     zero = jnp.zeros_like(a[0])
     acc = [zero] * (2 * L + 1)
 
@@ -67,7 +83,7 @@ def _mont_mul_kernel_body(p_limbs, n0inv, L, a_ref, b_ref, o_ref):
     # geq: res >= p  <=>  no final borrow
     take_sub = borrow == 0
     for i in range(L):
-        o_ref[i, :] = jnp.where(take_sub, sub[i], res[i])
+        o_ref[i] = jnp.where(take_sub, sub[i], res[i])
 
 
 def _mm_vecs(p_limbs, n0inv, L, a, b):
@@ -136,14 +152,14 @@ def _sub_vecs(p_limbs, L, a, b):
 def _butterfly_kernel_body(p_limbs, n0inv, L, a_ref, b_ref, w_ref,
                            s_ref, d_ref):
     """One constant-geometry DIF stage block: s = a + b, d = (a - b) * w."""
-    a = [a_ref[i, :] for i in range(L)]
-    b = [b_ref[i, :] for i in range(L)]
-    w = [w_ref[i, :] for i in range(L)]
+    a = [a_ref[i] for i in range(L)]
+    b = [b_ref[i] for i in range(L)]
+    w = [w_ref[i] for i in range(L)]
     s = _add_vecs(p_limbs, L, a, b)
     d = _mm_vecs(p_limbs, n0inv, L, _sub_vecs(p_limbs, L, a, b), w)
     for i in range(L):
-        s_ref[i, :] = s[i]
-        d_ref[i, :] = d[i]
+        s_ref[i] = s[i]
+        d_ref[i] = d[i]
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -159,43 +175,50 @@ def ntt_stage_pallas(spec, x: jnp.ndarray, w_dense: jnp.ndarray) -> jnp.ndarray:
     B = x.shape[1] if batched else 1
     n = x.shape[-1]
     h = n // 2
-    hb = min(BLOCK, h)
+    assert h % LANES == 0, "pallas NTT stage needs n >= 256"
+    h_rows = h // LANES
+    hb_rows = _pick_subs(h_rows)
     kernel = functools.partial(
         _butterfly_kernel_body,
         tuple(np.uint32(v) for v in spec.p_limbs), np.uint32(spec.n0inv), L)
-    nb = h // hb          # hb-blocks per half
-    nfb = n // hb         # hb-blocks per full poly
-    hfb = h // hb         # hb-blocks per half poly
-    xf = x.reshape(L, B * n)
+    nb = h_rows // hb_rows     # blocks per half
+    nfb = 2 * nb               # blocks per full poly
+    xf = x.reshape(L, B * n // LANES, LANES)
+    wf = w_dense.reshape(L, h_rows, LANES)
     s, d = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((L, B * h), jnp.uint32),
-                   jax.ShapeDtypeStruct((L, B * h), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((L, B * h_rows, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((L, B * h_rows, LANES), jnp.uint32)),
         grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((L, hb), lambda b, i, _n=nfb: (0, b * _n + i),
+            pl.BlockSpec((L, hb_rows, LANES),
+                         lambda b, i, _n=nfb: (0, b * _n + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, hb), lambda b, i, _n=nfb, _h=hfb: (0, b * _n + _h + i),
+            pl.BlockSpec((L, hb_rows, LANES),
+                         lambda b, i, _n=nfb, _h=nb: (0, b * _n + _h + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, hb), lambda b, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hb_rows, LANES), lambda b, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((L, hb), lambda b, i, _h=hfb: (0, b * _h + i),
+            pl.BlockSpec((L, hb_rows, LANES),
+                         lambda b, i, _h=nb: (0, b * _h + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, hb), lambda b, i, _h=hfb: (0, b * _h + i),
+            pl.BlockSpec((L, hb_rows, LANES),
+                         lambda b, i, _h=nb: (0, b * _h + i, 0),
                          memory_space=pltpu.VMEM),
         ),
-    )(xf, xf, w_dense)
+    )(xf, xf, wf)
     out = jnp.stack([s.reshape(L, B, h), d.reshape(L, B, h)], axis=-1)
     out = out.reshape(L, B, n)
     return out if batched else out[:, 0]
 
 
 def _add_kernel_body(p_limbs, L, a_ref, b_ref, o_ref):
-    carry = jnp.zeros_like(a_ref[0, :])
+    carry = jnp.zeros_like(a_ref[0])
     s = []
     for i in range(L):
-        t = a_ref[i, :] + b_ref[i, :] + carry
+        t = a_ref[i] + b_ref[i] + carry
         carry = t >> LIMB_BITS
         s.append(t & LIMB_MASK)
     # conditional subtract p when s >= p (sum < 2p < 2^(16L), carry-out == 0)
@@ -207,49 +230,55 @@ def _add_kernel_body(p_limbs, L, a_ref, b_ref, o_ref):
         sub.append((d + (borrow << LIMB_BITS)).astype(jnp.uint32))
     take_sub = borrow == 0
     for i in range(L):
-        o_ref[i, :] = jnp.where(take_sub, sub[i], s[i])
+        o_ref[i] = jnp.where(take_sub, sub[i], s[i])
 
 
 def _sub_kernel_body(p_limbs, L, a_ref, b_ref, o_ref):
-    borrow = jnp.zeros_like(a_ref[0, :], dtype=jnp.int32)
+    borrow = jnp.zeros_like(a_ref[0], dtype=jnp.int32)
     d = []
     for i in range(L):
-        t = a_ref[i, :].astype(jnp.int32) - b_ref[i, :].astype(jnp.int32) - borrow
+        t = a_ref[i].astype(jnp.int32) - b_ref[i].astype(jnp.int32) - borrow
         borrow = (t < 0).astype(jnp.int32)
         d.append((t + (borrow << LIMB_BITS)).astype(jnp.uint32))
     # if borrow: result += p
     need_p = borrow > 0
-    carry = jnp.zeros_like(a_ref[0, :])
+    carry = jnp.zeros_like(a_ref[0])
     for i in range(L):
         t = d[i] + jnp.where(need_p, np.uint32(p_limbs[i]), np.uint32(0)) + carry
         carry = t >> LIMB_BITS
-        o_ref[i, :] = t & LIMB_MASK
+        o_ref[i] = t & LIMB_MASK
 
 
 def _binary_pallas(spec, kernel_body, a, b):
     L = spec.num_limbs
     shape = a.shape
     n = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    blk = MAX_SUBS * LANES
+    n_pad = ((n + blk - 1) // blk) * blk
     af = a.reshape(L, n)
     bf = b.reshape(L, n)
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
     if n_pad != n:
         pad = jnp.zeros((L, n_pad - n), dtype=jnp.uint32)
         af = jnp.concatenate([af, pad], axis=1)
         bf = jnp.concatenate([bf, pad], axis=1)
+    af = af.reshape(L, n_pad // LANES, LANES)
+    bf = bf.reshape(L, n_pad // LANES, LANES)
     kernel = functools.partial(kernel_body,
                                tuple(np.uint32(x) for x in spec.p_limbs), L)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, n_pad), jnp.uint32),
-        grid=(n_pad // BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((L, n_pad // LANES, LANES), jnp.uint32),
+        grid=(n_pad // blk,),
         in_specs=[
-            pl.BlockSpec((L, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, MAX_SUBS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, MAX_SUBS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, BLOCK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((L, MAX_SUBS, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
     )(af, bf)
+    out = out.reshape(L, n_pad)
     if n_pad != n:
         out = out[:, :n]
     return out.reshape(shape)
@@ -273,13 +302,16 @@ def mont_mul_pallas(spec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     L = spec.num_limbs
     shape = a.shape
     n = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    blk = MAX_SUBS * LANES
+    n_pad = ((n + blk - 1) // blk) * blk
     af = a.reshape(L, n)
     bf = b.reshape(L, n)
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
     if n_pad != n:
         pad = jnp.zeros((L, n_pad - n), dtype=jnp.uint32)
         af = jnp.concatenate([af, pad], axis=1)
         bf = jnp.concatenate([bf, pad], axis=1)
+    af = af.reshape(L, n_pad // LANES, LANES)
+    bf = bf.reshape(L, n_pad // LANES, LANES)
 
     kernel = functools.partial(
         _mont_mul_kernel_body,
@@ -287,13 +319,15 @@ def mont_mul_pallas(spec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         np.uint32(spec.n0inv), L)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, n_pad), jnp.uint32),
-        grid=(n_pad // BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((L, n_pad // LANES, LANES), jnp.uint32),
+        grid=(n_pad // blk,),
         in_specs=[
-            pl.BlockSpec((L, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, MAX_SUBS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, MAX_SUBS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, BLOCK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((L, MAX_SUBS, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=int(n_pad) * (2 * L * L * 3 + 8 * L),
@@ -301,6 +335,7 @@ def mont_mul_pallas(spec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             transcendentals=0,
         ),
     )(af, bf)
+    out = out.reshape(L, n_pad)
     if n_pad != n:
         out = out[:, :n]
     return out.reshape(shape)

@@ -330,8 +330,14 @@ def pairing(curve: CurveSpec, P: AffinePoint, Q: G2Point):
 def multi_pairing(curve: CurveSpec, g1s: list, g2s: list):
     """prod_i e(P_i, Q_i) with one shared final exponentiation.
 
-    Reference parity: `utilities/src/multi_pairing.rs:13`.
+    Reference parity: `utilities/src/multi_pairing.rs:13`.  Routes through
+    the C host runtime (native/mpcjf_native.c) when the base field fits 4x64
+    limbs; the Python tower below is the exact fallback/oracle.
     """
+    from .utils import native as _nv
+    res = _nv.multi_pairing(curve, g1s, g2s)
+    if res is not None:
+        return res
     p, xi = curve.fq.p, _xi(curve)
     f = T.F12_ONE
     for P, Q in zip(g1s, g2s):

@@ -69,8 +69,9 @@ class PlonkKzgSnark:
             raise PlonkError("SRS too small for circuit")
         domain = N.Domain(spec, n)
 
-        ck, open_key = srs.trim(circuit.srs_size())
         t0 = time.time()
+        ck, open_key = srs.trim(circuit.srs_size())
+        t0 = _tr("preprocess: trim", t0)
 
         selector_polys = []
         for col in circuit.all_selectors():
@@ -125,6 +126,7 @@ class PlonkKzgSnark:
         id_host = circuit.extended_id_permutation
         pk.id_evals = [spec.to_device(id_host[i * n:(i + 1) * n])
                        for i in range(circuit.num_wire_types)]
+        _tr("preprocess: tail (vk/id-evals)", t0)
         return pk, vk
 
     # -- prove -------------------------------------------------------------

@@ -193,6 +193,10 @@ def ec_msm_fast(p: int, points: list, scalars: list,
     if len(pairs) == 1:
         s, pt = pairs[0]
         return ec_mul(p, pt, s)
+    from . import native as _nv
+    res = _nv.msm(p, [pt for _, pt in pairs], [s for s, _ in pairs])
+    if res is not None:
+        return res
     maxbits = max(s.bit_length() for s, _ in pairs)
     c = 3 if len(pairs) < 32 else max(3, maxbits.bit_length())
     nwin = (maxbits + c - 1) // c

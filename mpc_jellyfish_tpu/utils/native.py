@@ -1,0 +1,184 @@
+"""Loader + wrappers for the C host-runtime (native/mpcjf_native.c).
+
+Builds the extension on first use (cc -O2 -shared, no pip), caches the .so
+under native/, and exposes drop-in fast paths for the verifier's host math:
+
+  - ``msm(p, points, scalars)``        - G1 Pippenger (ec_host.ec_msm_fast)
+  - ``multi_pairing(curve, g1s, g2s)`` - optimal-ate product (pairing.py)
+
+Scope: 4x64-limb fields (p < 2^256) - BN254 (Fq 254b) end-to-end and every
+curve's Fr; BLS12-381's 381-bit Fq falls back to the exact Python path.
+Every wrapper returns None when the native module is unavailable or the
+parameters are out of scope; callers keep the Python result as oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import sysconfig
+
+_MOD = None
+_TRIED = False
+_CTX: dict = {}
+
+
+def _build_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _load():
+    global _MOD, _TRIED
+    if _TRIED:
+        return _MOD
+    _TRIED = True
+    if os.environ.get("MPC_JELLYFISH_NO_NATIVE", "") == "1":
+        return None
+    d = _build_dir()
+    so = os.path.join(d, "mpcjf_native.so")
+    src = os.path.join(d, "mpcjf_native.c")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            inc = sysconfig.get_paths()["include"]
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", f"-I{inc}", src, "-o",
+                 so + ".tmp"],
+                check=True, capture_output=True, timeout=120)
+            os.replace(so + ".tmp", so)
+        import importlib.util
+        spec = importlib.util.spec_from_file_location("mpcjf_native", so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _MOD = mod
+    except Exception:
+        _MOD = None
+    return _MOD
+
+
+def _i2b(x: int) -> bytes:
+    return int(x % (1 << 256)).to_bytes(32, "little")
+
+
+def _b2i(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+def _get_ctx(curve):
+    """Field context for the curve's Fq tower; None if out of scope."""
+    mod = _load()
+    if mod is None:
+        return None
+    key = curve.name
+    if key in _CTX:
+        return _CTX[key]
+    p = curve.fq.p
+    if p.bit_length() > 256:
+        _CTX[key] = None
+        return None
+    from . import fq_tower as T
+    from ..pairing import _xi
+    xi = _xi(curve)
+    beta = T._beta(p)
+    gammas = T._frob_gammas(p, xi)
+    gb = b"".join(_i2b(g[0]) + _i2b(g[1]) for g in gammas)
+    ctx = mod.ctx_new(_i2b(p), _i2b(beta), _i2b(xi[0]) + _i2b(xi[1]), gb)
+    _CTX[key] = (mod, ctx)
+    return _CTX[key]
+
+
+def _get_fr_ctx(p: int):
+    """Bare-field context keyed by modulus (for G1 MSM over any base field)."""
+    mod = _load()
+    if mod is None or p.bit_length() > 256:
+        return None
+    key = ("fp", p)
+    if key in _CTX:
+        return _CTX[key]
+    zeros = _i2b(0)
+    ctx = mod.ctx_new(_i2b(p), _i2b(p - 1), zeros * 2, zeros * 12)
+    _CTX[key] = (mod, ctx)
+    return _CTX[key]
+
+
+def msm(p: int, points, scalars):
+    """G1 MSM over E/Fp (a=0).  Returns AffinePoint or None (fallback)."""
+    got = _get_fr_ctx(p)
+    if got is None:
+        return None
+    mod, ctx = got
+    from .ec_host import AffinePoint
+    xs, ys, infs, ss = [], [], [], []
+    for pt, s in zip(points, scalars):
+        if pt.inf:
+            xs.append(_i2b(0)); ys.append(_i2b(0)); infs.append(1)
+        else:
+            xs.append(_i2b(pt.x)); ys.append(_i2b(pt.y)); infs.append(0)
+        ss.append(_i2b(int(s)))
+    out = mod.msm(ctx, b"".join(xs), b"".join(ys), bytes(infs),
+                  b"".join(ss))
+    if out[64]:
+        return AffinePoint.infinity()
+    return AffinePoint(_b2i(out[:32]), _b2i(out[32:64]))
+
+
+def _f12_bytes(a) -> bytes:
+    """Python nested-tuple f12 -> C layout (c0.c0.c0, c0.c0.c1, c0.c1.c0...)"""
+    (a0, a1) = a
+    parts = []
+    for f6 in (a0, a1):
+        for f2 in f6:
+            parts.append(_i2b(f2[0]))
+            parts.append(_i2b(f2[1]))
+    return b"".join(parts)
+
+
+def _f12_from_bytes(b: bytes):
+    vals = [_b2i(b[i * 32:(i + 1) * 32]) for i in range(12)]
+    def f6(o):
+        return ((vals[o], vals[o + 1]), (vals[o + 2], vals[o + 3]),
+                (vals[o + 4], vals[o + 5]))
+    return (f6(0), f6(6))
+
+
+def multi_pairing(curve, g1s, g2s):
+    """prod_i e(P_i, Q_i) as a Python f12 tuple, or None (fallback)."""
+    got = _get_ctx(curve)
+    if got is None:
+        return None
+    mod, ctx = got
+    from .. import pairing as PR
+    from . import fq_tower as T
+    x = curve.x_param
+    if curve.name == "bn254":
+        kind, s = 2, 6 * x + 2
+    elif curve.name.startswith("bls12"):
+        kind, s = (1 if x < 0 else 0), abs(x)
+    else:
+        return None
+    sbits = bytes(int(b) for b in bin(s)[2:])
+    f_acc = None
+    for P, Q in zip(g1s, g2s):
+        if P.inf or Q.inf:
+            continue
+        Qx, Qy = PR.untwist(curve, Q)
+        fb = mod.miller(ctx, kind, sbits, _i2b(P.x) + _i2b(P.y),
+                        _f12_bytes(Qx), _f12_bytes(Qy))
+        f_acc = fb if f_acc is None else mod.f12_mul(ctx, f_acc, fb)
+    if f_acc is None:
+        return T.F12_ONE
+    digits = PR._hard_part_digits(curve)
+    db = b"".join(_i2b(d) for d in digits)
+    out = mod.final_exp(ctx, f_acc, db)
+    return _f12_from_bytes(out)
+
+
+def pairing_check(curve, g1s, g2s):
+    """prod e(P_i, Q_i) == 1, or None (fallback)."""
+    from . import fq_tower as T
+    r = multi_pairing(curve, g1s, g2s)
+    if r is None:
+        return None
+    return r == T.F12_ONE

@@ -1,0 +1,895 @@
+/* mpcjf_native: host-side bignum/EC/pairing kernels.
+ *
+ * TPU-native framework split (SURVEY.md §3.2): the prover's bulk math runs
+ * on the TPU; the *verifier* does a ~30-point MSM and a 2-pairing product
+ * check whose latency budget (<50 ms; reference verifier.rs:195-251 runs in
+ * 1.46 ms) pure Python cannot meet.  This module is the C runtime for that
+ * host path: 4x64 Montgomery field, a=0 short-Weierstrass G1 (Jacobian),
+ * Pippenger MSM, and the Fq2/Fq6/Fq12 tower + optimal-ate Miller loop +
+ * final exponentiation, mirroring mpc_jellyfish_tpu/utils/fq_tower.py and
+ * mpc_jellyfish_tpu/pairing.py (same tower: u^2 = beta, v^3 = xi, w^2 = v).
+ *
+ * All curve constants (p, beta, xi, Frobenius gammas, loop digits, hard-part
+ * digits) are supplied by Python - the C code is curve-generic.
+ * Integers cross the boundary as 32-byte little-endian buffers.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+
+typedef unsigned __int128 u128;
+
+typedef struct { uint64_t v[4]; } fe; /* Montgomery form */
+
+typedef struct {
+    uint64_t p[4];
+    uint64_t n0;           /* -p^{-1} mod 2^64 */
+    fe r2, one;            /* R^2 mod p, R mod p */
+    fe beta;               /* u^2 = beta (Fq2), Montgomery */
+    fe xi[2];              /* v^3 = xi (Fq6 over Fq2), Montgomery */
+    fe frob[6][2];         /* gamma_j = xi^{j(p-1)/6} (Fq2), Montgomery */
+} fctx;
+
+/* ---------------- fe core ---------------- */
+
+static int fe_cmp_raw(const uint64_t *a, const uint64_t *b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] < b[i]) return -1;
+        if (a[i] > b[i]) return 1;
+    }
+    return 0;
+}
+
+static void fe_add(const fctx *c, fe *o, const fe *a, const fe *b) {
+    u128 t = 0;
+    uint64_t s[4];
+    for (int i = 0; i < 4; i++) {
+        t += (u128)a->v[i] + b->v[i];
+        s[i] = (uint64_t)t;
+        t >>= 64;
+    }
+    uint64_t carry = (uint64_t)t;
+    if (carry || fe_cmp_raw(s, c->p) >= 0) {
+        u128 bt = 0;
+        for (int i = 0; i < 4; i++) {
+            bt = (u128)s[i] - c->p[i] - (uint64_t)(bt != 0 ? 1 : 0);
+            o->v[i] = (uint64_t)bt;
+            bt = (bt >> 64) & 1; /* borrow flag in low bit */
+        }
+    } else {
+        memcpy(o->v, s, sizeof s);
+    }
+}
+
+static void fe_sub(const fctx *c, fe *o, const fe *a, const fe *b) {
+    u128 bt = 0;
+    uint64_t d[4];
+    uint64_t borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 t = (u128)a->v[i] - b->v[i] - borrow;
+        d[i] = (uint64_t)t;
+        borrow = (uint64_t)((t >> 64) & 1);
+    }
+    if (borrow) {
+        u128 t = 0;
+        for (int i = 0; i < 4; i++) {
+            t += (u128)d[i] + c->p[i];
+            o->v[i] = (uint64_t)t;
+            t >>= 64;
+        }
+    } else {
+        memcpy(o->v, d, sizeof d);
+    }
+    (void)bt;
+}
+
+static void fe_neg(const fctx *c, fe *o, const fe *a) {
+    fe z;
+    memset(&z, 0, sizeof z);
+    fe_sub(c, o, &z, a);
+}
+
+/* CIOS Montgomery multiplication, 4 limbs */
+static void fe_mul(const fctx *c, fe *o, const fe *a, const fe *b) {
+    uint64_t t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        uint64_t ai = a->v[i];
+        for (int j = 0; j < 4; j++) {
+            carry = (u128)ai * b->v[j] + t[j] + (uint64_t)carry;
+            t[j] = (uint64_t)carry;
+            carry >>= 64;
+        }
+        carry = (u128)t[4] + (uint64_t)carry;
+        t[4] = (uint64_t)carry;
+        t[5] = (uint64_t)(carry >> 64);
+
+        uint64_t m = t[0] * c->n0;
+        carry = (u128)m * c->p[0] + t[0];
+        carry >>= 64;
+        for (int j = 1; j < 4; j++) {
+            carry = (u128)m * c->p[j] + t[j] + (uint64_t)carry;
+            t[j - 1] = (uint64_t)carry;
+            carry >>= 64;
+        }
+        carry = (u128)t[4] + (uint64_t)carry;
+        t[3] = (uint64_t)carry;
+        t[4] = t[5] + (uint64_t)(carry >> 64);
+    }
+    if (t[4] || fe_cmp_raw(t, c->p) >= 0) {
+        uint64_t borrow = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 d = (u128)t[i] - c->p[i] - borrow;
+            o->v[i] = (uint64_t)d;
+            borrow = (uint64_t)((d >> 64) & 1);
+        }
+    } else {
+        memcpy(o->v, t, 4 * sizeof(uint64_t));
+    }
+}
+
+static void fe_sqr(const fctx *c, fe *o, const fe *a) { fe_mul(c, o, a, a); }
+
+static int fe_is_zero(const fe *a) {
+    return (a->v[0] | a->v[1] | a->v[2] | a->v[3]) == 0;
+}
+
+static void fe_pow_bytes(const fctx *c, fe *o, const fe *a,
+                         const uint8_t *e, Py_ssize_t elen) {
+    fe acc = c->one;
+    int started = 0;
+    for (Py_ssize_t byte = elen - 1; byte >= 0; byte--) {
+        for (int bit = 7; bit >= 0; bit--) {
+            if (started) fe_sqr(c, &acc, &acc);
+            if ((e[byte] >> bit) & 1) {
+                if (started) fe_mul(c, &acc, &acc, a);
+                else { acc = *a; started = 1; }
+            }
+        }
+    }
+    *o = started ? acc : c->one;
+}
+
+static void fe_inv(const fctx *c, fe *o, const fe *a) {
+    /* a^(p-2) */
+    uint8_t e[32];
+    uint64_t pm2[4];
+    uint64_t borrow = 2;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)c->p[i] - borrow;
+        pm2[i] = (uint64_t)d;
+        borrow = (uint64_t)((d >> 64) & 1);
+    }
+    memcpy(e, pm2, 32);
+    fe_pow_bytes(c, o, a, e, 32);
+}
+
+static void fe_from_bytes(const fctx *c, fe *o, const uint8_t *b) {
+    fe t;
+    memcpy(t.v, b, 32);
+    fe_mul(c, o, &t, &c->r2); /* to Montgomery */
+}
+
+static void fe_to_bytes(const fctx *c, uint8_t *b, const fe *a) {
+    fe one_raw, t;
+    memset(&one_raw, 0, sizeof one_raw);
+    one_raw.v[0] = 1;
+    fe_mul(c, &t, a, &one_raw); /* from Montgomery */
+    memcpy(b, t.v, 32);
+}
+
+/* ---------------- G1 Jacobian, a = 0 ---------------- */
+
+typedef struct { fe x, y, z; } g1; /* z == 0 -> infinity */
+
+static void g1_inf(const fctx *c, g1 *o) {
+    o->x = c->one;
+    o->y = c->one;
+    memset(&o->z, 0, sizeof(fe));
+}
+
+static void g1_dbl(const fctx *c, g1 *o, const g1 *P) {
+    if (fe_is_zero(&P->z)) { *o = *P; return; }
+    fe A, B, C2, D, E, F, t, t2;
+    fe_sqr(c, &A, &P->x);
+    fe_sqr(c, &B, &P->y);
+    fe_sqr(c, &C2, &B);
+    fe_add(c, &t, &P->x, &B);
+    fe_sqr(c, &t, &t);
+    fe_sub(c, &t, &t, &A);
+    fe_sub(c, &t, &t, &C2);
+    fe_add(c, &D, &t, &t);
+    fe_add(c, &E, &A, &A);
+    fe_add(c, &E, &E, &A);
+    fe_sqr(c, &F, &E);
+    fe_add(c, &t, &D, &D);
+    fe_sub(c, &o->x, &F, &t);
+    fe_sub(c, &t, &D, &o->x);
+    fe_mul(c, &t, &E, &t);
+    fe_add(c, &t2, &C2, &C2);
+    fe_add(c, &t2, &t2, &t2);
+    fe_add(c, &t2, &t2, &t2);
+    fe_mul(c, &o->z, &P->y, &P->z);
+    fe_add(c, &o->z, &o->z, &o->z);
+    fe_sub(c, &o->y, &t, &t2);
+}
+
+static void g1_add(const fctx *c, g1 *o, const g1 *P, const g1 *Q) {
+    if (fe_is_zero(&P->z)) { *o = *Q; return; }
+    if (fe_is_zero(&Q->z)) { *o = *P; return; }
+    fe Z1Z1, Z2Z2, U1, U2, S1, S2, H, I, J, r, V, t;
+    fe_sqr(c, &Z1Z1, &P->z);
+    fe_sqr(c, &Z2Z2, &Q->z);
+    fe_mul(c, &U1, &P->x, &Z2Z2);
+    fe_mul(c, &U2, &Q->x, &Z1Z1);
+    fe_mul(c, &t, &Q->z, &Z2Z2);
+    fe_mul(c, &S1, &P->y, &t);
+    fe_mul(c, &t, &P->z, &Z1Z1);
+    fe_mul(c, &S2, &Q->y, &t);
+    fe_sub(c, &H, &U2, &U1);
+    fe_sub(c, &r, &S2, &S1);
+    if (fe_is_zero(&H)) {
+        if (fe_is_zero(&r)) { g1_dbl(c, o, P); return; }
+        g1_inf(c, o);
+        return;
+    }
+    fe_add(c, &t, &H, &H);
+    fe_sqr(c, &I, &t);
+    fe_mul(c, &J, &H, &I);
+    fe_add(c, &r, &r, &r);
+    fe_mul(c, &V, &U1, &I);
+    fe_sqr(c, &t, &r);
+    fe_sub(c, &t, &t, &J);
+    fe_sub(c, &o->x, &t, &V);
+    fe_sub(c, &o->x, &o->x, &V);
+    fe_sub(c, &t, &V, &o->x);
+    fe_mul(c, &t, &r, &t);
+    fe mul2;
+    fe_mul(c, &mul2, &S1, &J);
+    fe_add(c, &mul2, &mul2, &mul2);
+    fe_sub(c, &o->y, &t, &mul2);
+    fe_add(c, &t, &P->z, &Q->z);
+    fe_sqr(c, &t, &t);
+    fe_sub(c, &t, &t, &Z1Z1);
+    fe_sub(c, &t, &t, &Z2Z2);
+    fe_mul(c, &o->z, &t, &H);
+}
+
+/* Pippenger MSM.  points: affine (x, y, inf) Montgomery; scalars raw 4x64 */
+static void g1_msm(const fctx *c, g1 *out, const fe *xs, const fe *ys,
+                   const uint8_t *inf, const uint64_t *scalars,
+                   Py_ssize_t n) {
+    int cbits = 4;
+    if (n >= 32) cbits = 7;
+    if (n >= 256) cbits = 9;
+    if (n >= 4096) cbits = 12;
+    int nwin = (256 + cbits - 1) / cbits;
+    int nbuckets = 1 << cbits;
+    g1 *buckets = (g1 *)malloc(sizeof(g1) * nbuckets);
+    g1 acc;
+    g1_inf(c, &acc);
+    for (int w = nwin - 1; w >= 0; w--) {
+        for (int d = 0; d < cbits; d++) {
+            g1 t = acc;
+            g1_dbl(c, &acc, &t);
+        }
+        for (int b = 0; b < nbuckets; b++) g1_inf(c, &buckets[b]);
+        for (Py_ssize_t i = 0; i < n; i++) {
+            if (inf[i]) continue;
+            int bit = w * cbits;
+            int limb = bit / 64, off = bit % 64;
+            uint64_t v = scalars[i * 4 + limb] >> off;
+            if (off && limb + 1 < 4)
+                v |= scalars[i * 4 + limb + 1] << (64 - off);
+            int digit = (int)(v & (uint64_t)(nbuckets - 1));
+            if (!digit) continue;
+            g1 pt;
+            pt.x = xs[i];
+            pt.y = ys[i];
+            pt.z = c->one;
+            g1 t = buckets[digit];
+            g1_add(c, &buckets[digit], &t, &pt);
+        }
+        g1 running, sum;
+        g1_inf(c, &running);
+        g1_inf(c, &sum);
+        for (int b = nbuckets - 1; b >= 1; b--) {
+            g1 t = running;
+            g1_add(c, &running, &t, &buckets[b]);
+            t = sum;
+            g1_add(c, &sum, &t, &running);
+        }
+        g1 t = acc;
+        g1_add(c, &acc, &t, &sum);
+    }
+    free(buckets);
+    *out = acc;
+}
+
+/* ---------------- Fq2 / Fq6 / Fq12 ---------------- */
+
+typedef struct { fe c0, c1; } f2;
+typedef struct { f2 c0, c1, c2; } f6;
+typedef struct { f6 c0, c1; } f12;
+
+static void f2_add(const fctx *c, f2 *o, const f2 *a, const f2 *b) {
+    fe_add(c, &o->c0, &a->c0, &b->c0);
+    fe_add(c, &o->c1, &a->c1, &b->c1);
+}
+static void f2_sub(const fctx *c, f2 *o, const f2 *a, const f2 *b) {
+    fe_sub(c, &o->c0, &a->c0, &b->c0);
+    fe_sub(c, &o->c1, &a->c1, &b->c1);
+}
+static void f2_neg(const fctx *c, f2 *o, const f2 *a) {
+    fe_neg(c, &o->c0, &a->c0);
+    fe_neg(c, &o->c1, &a->c1);
+}
+static void f2_conj(const fctx *c, f2 *o, const f2 *a) {
+    o->c0 = a->c0;
+    fe_neg(c, &o->c1, &a->c1);
+}
+static void f2_mul(const fctx *c, f2 *o, const f2 *a, const f2 *b) {
+    fe t0, t1, t2, t3;
+    fe_mul(c, &t0, &a->c0, &b->c0);
+    fe_mul(c, &t1, &a->c1, &b->c1);
+    fe_mul(c, &t2, &a->c0, &b->c1);
+    fe_mul(c, &t3, &a->c1, &b->c0);
+    fe bb;
+    fe_mul(c, &bb, &t1, &c->beta);
+    fe_add(c, &o->c0, &t0, &bb);
+    fe_add(c, &o->c1, &t2, &t3);
+}
+static void f2_sqr(const fctx *c, f2 *o, const f2 *a) { f2_mul(c, o, a, a); }
+static void f2_inv(const fctx *c, f2 *o, const f2 *a) {
+    /* 1/(a0 + a1 u) = (a0 - a1 u)/(a0^2 - beta a1^2) */
+    fe t0, t1, d;
+    fe_sqr(c, &t0, &a->c0);
+    fe_sqr(c, &t1, &a->c1);
+    fe_mul(c, &t1, &t1, &c->beta);
+    fe_sub(c, &d, &t0, &t1);
+    fe_inv(c, &d, &d);
+    fe_mul(c, &o->c0, &a->c0, &d);
+    fe_mul(c, &t0, &a->c1, &d);
+    fe_neg(c, &o->c1, &t0);
+}
+
+static void f6_add(const fctx *c, f6 *o, const f6 *a, const f6 *b) {
+    f2_add(c, &o->c0, &a->c0, &b->c0);
+    f2_add(c, &o->c1, &a->c1, &b->c1);
+    f2_add(c, &o->c2, &a->c2, &b->c2);
+}
+static void f6_sub(const fctx *c, f6 *o, const f6 *a, const f6 *b) {
+    f2_sub(c, &o->c0, &a->c0, &b->c0);
+    f2_sub(c, &o->c1, &a->c1, &b->c1);
+    f2_sub(c, &o->c2, &a->c2, &b->c2);
+}
+static void f6_neg(const fctx *c, f6 *o, const f6 *a) {
+    f2_neg(c, &o->c0, &a->c0);
+    f2_neg(c, &o->c1, &a->c1);
+    f2_neg(c, &o->c2, &a->c2);
+}
+static void f2_mul_xi(const fctx *c, f2 *o, const f2 *a) {
+    f2 xi = {c->xi[0], c->xi[1]};
+    f2_mul(c, o, a, &xi);
+}
+static void f6_mul(const fctx *c, f6 *o, const f6 *a, const f6 *b) {
+    f2 v0, v1, v2, t0, t1, t2, tmp;
+    f2_mul(c, &v0, &a->c0, &b->c0);
+    f2_mul(c, &v1, &a->c1, &b->c1);
+    f2_mul(c, &v2, &a->c2, &b->c2);
+    /* c0 = v0 + xi((a1+a2)(b1+b2) - v1 - v2) */
+    f2_add(c, &t0, &a->c1, &a->c2);
+    f2_add(c, &t1, &b->c1, &b->c2);
+    f2_mul(c, &t2, &t0, &t1);
+    f2_sub(c, &t2, &t2, &v1);
+    f2_sub(c, &t2, &t2, &v2);
+    f2_mul_xi(c, &tmp, &t2);
+    f2_add(c, &t2, &v0, &tmp);
+    /* c1 = (a0+a1)(b0+b1) - v0 - v1 + xi v2 */
+    f2 t3;
+    f2_add(c, &t0, &a->c0, &a->c1);
+    f2_add(c, &t1, &b->c0, &b->c1);
+    f2_mul(c, &t3, &t0, &t1);
+    f2_sub(c, &t3, &t3, &v0);
+    f2_sub(c, &t3, &t3, &v1);
+    f2_mul_xi(c, &tmp, &v2);
+    f2_add(c, &t3, &t3, &tmp);
+    /* c2 = (a0+a2)(b0+b2) - v0 - v2 + v1 */
+    f2 t4;
+    f2_add(c, &t0, &a->c0, &a->c2);
+    f2_add(c, &t1, &b->c0, &b->c2);
+    f2_mul(c, &t4, &t0, &t1);
+    f2_sub(c, &t4, &t4, &v0);
+    f2_sub(c, &t4, &t4, &v2);
+    f2_add(c, &t4, &t4, &v1);
+    o->c0 = t2;
+    o->c1 = t3;
+    o->c2 = t4;
+}
+static void f6_mul_by_v(const fctx *c, f6 *o, const f6 *a) {
+    f2 t;
+    f2_mul_xi(c, &t, &a->c2);
+    f2 a0 = a->c0, a1 = a->c1;
+    o->c0 = t;
+    o->c1 = a0;
+    o->c2 = a1;
+}
+static void f6_inv(const fctx *c, f6 *o, const f6 *a) {
+    /* standard: via c0,c1,c2 cofactors */
+    f2 c0, c1, c2, t0, t1, t2, tmp;
+    f2_sqr(c, &t0, &a->c0);
+    f2_mul(c, &t1, &a->c1, &a->c2);
+    f2_mul_xi(c, &tmp, &t1);
+    f2_sub(c, &c0, &t0, &tmp);
+    f2_sqr(c, &t0, &a->c2);
+    f2_mul_xi(c, &t0, &t0);
+    f2_mul(c, &t1, &a->c0, &a->c1);
+    f2_sub(c, &c1, &t0, &t1);
+    f2_sqr(c, &t0, &a->c1);
+    f2_mul(c, &t1, &a->c0, &a->c2);
+    f2_sub(c, &c2, &t0, &t1);
+    /* t = a0 c0 + xi(a2 c1 + a1 c2) */
+    f2 s0, s1;
+    f2_mul(c, &s0, &a->c2, &c1);
+    f2_mul(c, &s1, &a->c1, &c2);
+    f2_add(c, &s0, &s0, &s1);
+    f2_mul_xi(c, &s0, &s0);
+    f2_mul(c, &t2, &a->c0, &c0);
+    f2_add(c, &t2, &t2, &s0);
+    f2_inv(c, &t2, &t2);
+    f2_mul(c, &o->c0, &c0, &t2);
+    f2_mul(c, &o->c1, &c1, &t2);
+    f2_mul(c, &o->c2, &c2, &t2);
+}
+
+static void f12_mul(const fctx *c, f12 *o, const f12 *a, const f12 *b) {
+    f6 v0, v1, t0, t1, t2;
+    f6_mul(c, &v0, &a->c0, &b->c0);
+    f6_mul(c, &v1, &a->c1, &b->c1);
+    f6_add(c, &t0, &a->c0, &a->c1);
+    f6_add(c, &t1, &b->c0, &b->c1);
+    f6_mul(c, &t2, &t0, &t1);
+    f6_sub(c, &t2, &t2, &v0);
+    f6_sub(c, &t2, &t2, &v1);
+    f6 vv;
+    f6_mul_by_v(c, &vv, &v1);
+    f6_add(c, &o->c0, &v0, &vv);
+    o->c1 = t2;
+}
+static void f12_sqr(const fctx *c, f12 *o, const f12 *a) { f12_mul(c, o, a, a); }
+static void f12_conj(const fctx *c, f12 *o, const f12 *a) {
+    o->c0 = a->c0;
+    f6_neg(c, &o->c1, &a->c1);
+}
+static void f12_inv(const fctx *c, f12 *o, const f12 *a) {
+    /* 1/(a0 + a1 w) = (a0 - a1 w)/(a0^2 - v a1^2) */
+    f6 t0, t1;
+    f6_mul(c, &t0, &a->c0, &a->c0);
+    f6_mul(c, &t1, &a->c1, &a->c1);
+    f6_mul_by_v(c, &t1, &t1);
+    f6_sub(c, &t0, &t0, &t1);
+    f6_inv(c, &t0, &t0);
+    f6_mul(c, &o->c0, &a->c0, &t0);
+    f6 t2;
+    f6_mul(c, &t2, &a->c1, &t0);
+    f6_neg(c, &o->c1, &t2);
+}
+static void f12_one(const fctx *c, f12 *o) {
+    memset(o, 0, sizeof *o);
+    o->c0.c0.c0 = c->one;
+}
+static int f12_is_one(const fctx *c, const f12 *a) {
+    f12 one;
+    f12_one(c, &one);
+    return memcmp(a, &one, sizeof one) == 0;
+}
+
+/* Frobenius: coefficient-wise conjugation + gamma_j scaling (fq_tower.py
+ * f12_frobenius). coeffs of w^j: [c0.c0, c1.c0, c0.c1, c1.c1, c0.c2, c1.c2] */
+static void f12_frobenius(const fctx *c, f12 *o, const f12 *a, int n) {
+    f12 cur = *a;
+    for (int it = 0; it < n; it++) {
+        f2 cs[6] = {cur.c0.c0, cur.c1.c0, cur.c0.c1,
+                    cur.c1.c1, cur.c0.c2, cur.c1.c2};
+        for (int j = 0; j < 6; j++) {
+            f2 cj, g = {c->frob[j][0], c->frob[j][1]};
+            f2_conj(c, &cj, &cs[j]);
+            f2_mul(c, &cs[j], &cj, &g);
+        }
+        cur.c0.c0 = cs[0]; cur.c1.c0 = cs[1]; cur.c0.c1 = cs[2];
+        cur.c1.c1 = cs[3]; cur.c0.c2 = cs[4]; cur.c1.c2 = cs[5];
+    }
+    *o = cur;
+}
+
+/* ---------------- ate Miller loop (Fq12 coordinates) ---------------- */
+
+/* line through T (affine f12 pair) with slope lam, evaluated at (xP, yP):
+ * l = yP - Ty - lam (xP - Tx)   -- mirrors pairing.py _ate_line */
+static void ate_line(const fctx *c, f12 *l, const f12 *Tx, const f12 *Ty,
+                     const f12 *lam, const fe *xP, const fe *yP) {
+    f12 xPe, yPe, t;
+    memset(&xPe, 0, sizeof xPe);
+    memset(&yPe, 0, sizeof yPe);
+    xPe.c0.c0.c0 = *xP;
+    yPe.c0.c0.c0 = *yP;
+    f12 d;
+    f12 tmp;
+    /* d = xP - Tx */
+    f12 negTx;
+    f12_conj(c, &negTx, Tx); /* placeholder; need full neg */
+    /* full negation */
+    f6_neg(c, &negTx.c0, &Tx->c0);
+    f6_neg(c, &negTx.c1, &Tx->c1);
+    f6_add(c, &d.c0, &xPe.c0, &negTx.c0);
+    f6_add(c, &d.c1, &xPe.c1, &negTx.c1);
+    f12_mul(c, &tmp, lam, &d);
+    f12 negTy;
+    f6_neg(c, &negTy.c0, &Ty->c0);
+    f6_neg(c, &negTy.c1, &Ty->c1);
+    f6_add(c, &t.c0, &yPe.c0, &negTy.c0);
+    f6_add(c, &t.c1, &yPe.c1, &negTy.c1);
+    f6_sub(c, &l->c0, &t.c0, &tmp.c0);
+    f6_sub(c, &l->c1, &t.c1, &tmp.c1);
+}
+
+/* T <- 2T, return line (pairing.py _ate_dbl) */
+static void ate_dbl(const fctx *c, f12 *Tx, f12 *Ty, f12 *l,
+                    const fe *xP, const fe *yP) {
+    f12 x2, lam, den, num, t;
+    f12_sqr(c, &x2, Tx);
+    /* lam = 3 x^2 / (2 y) */
+    f12 three_x2;
+    f6_add(c, &three_x2.c0, &x2.c0, &x2.c0);
+    f6_add(c, &three_x2.c1, &x2.c1, &x2.c1);
+    f6_add(c, &three_x2.c0, &three_x2.c0, &x2.c0);
+    f6_add(c, &three_x2.c1, &three_x2.c1, &x2.c1);
+    f6_add(c, &den.c0, &Ty->c0, &Ty->c0);
+    f6_add(c, &den.c1, &Ty->c1, &Ty->c1);
+    f12_inv(c, &den, &den);
+    f12_mul(c, &lam, &three_x2, &den);
+    ate_line(c, l, Tx, Ty, &lam, xP, yP);
+    /* x3 = lam^2 - 2x ; y3 = lam(x - x3) - y */
+    f12 lam2, x3, y3;
+    f12_sqr(c, &lam2, &lam);
+    f6_sub(c, &x3.c0, &lam2.c0, &Tx->c0);
+    f6_sub(c, &x3.c1, &lam2.c1, &Tx->c1);
+    f6_sub(c, &x3.c0, &x3.c0, &Tx->c0);
+    f6_sub(c, &x3.c1, &x3.c1, &Tx->c1);
+    f6_sub(c, &t.c0, &Tx->c0, &x3.c0);
+    f6_sub(c, &t.c1, &Tx->c1, &x3.c1);
+    f12_mul(c, &y3, &lam, &t);
+    f6_sub(c, &y3.c0, &y3.c0, &Ty->c0);
+    f6_sub(c, &y3.c1, &y3.c1, &Ty->c1);
+    *Tx = x3;
+    *Ty = y3;
+    (void)num;
+}
+
+/* T <- T + Q, return line (pairing.py _ate_add) */
+static void ate_add(const fctx *c, f12 *Tx, f12 *Ty,
+                    const f12 *Qx, const f12 *Qy, f12 *l,
+                    const fe *xP, const fe *yP) {
+    f12 num, den, lam, t;
+    f6_sub(c, &num.c0, &Qy->c0, &Ty->c0);
+    f6_sub(c, &num.c1, &Qy->c1, &Ty->c1);
+    f6_sub(c, &den.c0, &Qx->c0, &Tx->c0);
+    f6_sub(c, &den.c1, &Qx->c1, &Tx->c1);
+    f12_inv(c, &den, &den);
+    f12_mul(c, &lam, &num, &den);
+    ate_line(c, l, Tx, Ty, &lam, xP, yP);
+    f12 lam2, x3, y3;
+    f12_sqr(c, &lam2, &lam);
+    f6_sub(c, &x3.c0, &lam2.c0, &Tx->c0);
+    f6_sub(c, &x3.c1, &lam2.c1, &Tx->c1);
+    f6_sub(c, &x3.c0, &x3.c0, &Qx->c0);
+    f6_sub(c, &x3.c1, &x3.c1, &Qx->c1);
+    f6_sub(c, &t.c0, &Tx->c0, &x3.c0);
+    f6_sub(c, &t.c1, &Tx->c1, &x3.c1);
+    f12_mul(c, &y3, &lam, &t);
+    f6_sub(c, &y3.c0, &y3.c0, &Ty->c0);
+    f6_sub(c, &y3.c1, &y3.c1, &Ty->c1);
+    *Tx = x3;
+    *Ty = y3;
+}
+
+/* ---------------- Python boundary ---------------- */
+
+static void ctx_free(PyObject *cap) {
+    free(PyCapsule_GetPointer(cap, "mpcjf.fctx"));
+}
+
+/* ctx_new(p32, beta32, xi 2*32, gammas 12*32) */
+static PyObject *py_ctx_new(PyObject *self, PyObject *args) {
+    Py_buffer pb, betab, xib, gb;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*", &pb, &betab, &xib, &gb))
+        return NULL;
+    if (pb.len != 32 || betab.len != 32 || xib.len != 64 || gb.len != 384) {
+        PyErr_SetString(PyExc_ValueError, "bad ctx buffer sizes");
+        return NULL;
+    }
+    fctx *c = (fctx *)calloc(1, sizeof(fctx));
+    memcpy(c->p, pb.buf, 32);
+    /* n0 = -p^{-1} mod 2^64 (Newton) */
+    uint64_t p0 = c->p[0], inv = 1;
+    for (int i = 0; i < 6; i++) inv *= 2 - p0 * inv;
+    c->n0 = (uint64_t)(-(int64_t)inv);
+    /* one = R mod p: compute by reducing 2^256 ... set via repeated add */
+    /* R mod p: start with 2^255 mod p via doubling from 1 */
+    fe r;
+    memset(&r, 0, sizeof r);
+    r.v[0] = 1;
+    for (int i = 0; i < 256; i++) {
+        /* r = 2r mod p (raw domain) */
+        uint64_t carry = 0;
+        uint64_t s[4];
+        for (int j = 0; j < 4; j++) {
+            uint64_t hi = r.v[j] >> 63;
+            s[j] = (r.v[j] << 1) | carry;
+            carry = hi;
+        }
+        if (carry || fe_cmp_raw(s, c->p) >= 0) {
+            uint64_t borrow = 0;
+            for (int j = 0; j < 4; j++) {
+                u128 d = (u128)s[j] - c->p[j] - borrow;
+                r.v[j] = (uint64_t)d;
+                borrow = (uint64_t)((d >> 64) & 1);
+            }
+        } else {
+            memcpy(r.v, s, sizeof s);
+        }
+    }
+    c->one = r; /* R mod p */
+    /* r2 = R^2 mod p via 256 more doublings */
+    for (int i = 0; i < 256; i++) {
+        uint64_t carry = 0;
+        uint64_t s[4];
+        for (int j = 0; j < 4; j++) {
+            uint64_t hi = r.v[j] >> 63;
+            s[j] = (r.v[j] << 1) | carry;
+            carry = hi;
+        }
+        if (carry || fe_cmp_raw(s, c->p) >= 0) {
+            uint64_t borrow = 0;
+            for (int j = 0; j < 4; j++) {
+                u128 d = (u128)s[j] - c->p[j] - borrow;
+                r.v[j] = (uint64_t)d;
+                borrow = (uint64_t)((d >> 64) & 1);
+            }
+        } else {
+            memcpy(r.v, s, sizeof s);
+        }
+    }
+    c->r2 = r;
+    fe_from_bytes(c, &c->beta, (const uint8_t *)betab.buf);
+    fe_from_bytes(c, &c->xi[0], (const uint8_t *)xib.buf);
+    fe_from_bytes(c, &c->xi[1], (const uint8_t *)xib.buf + 32);
+    for (int j = 0; j < 6; j++) {
+        fe_from_bytes(c, &c->frob[j][0], (const uint8_t *)gb.buf + j * 64);
+        fe_from_bytes(c, &c->frob[j][1], (const uint8_t *)gb.buf + j * 64 + 32);
+    }
+    PyBuffer_Release(&pb);
+    PyBuffer_Release(&betab);
+    PyBuffer_Release(&xib);
+    PyBuffer_Release(&gb);
+    return PyCapsule_New(c, "mpcjf.fctx", ctx_free);
+}
+
+static fctx *get_ctx(PyObject *cap) {
+    return (fctx *)PyCapsule_GetPointer(cap, "mpcjf.fctx");
+}
+
+/* msm(ctx, xs n*32, ys n*32, inf n*1, scalars n*32) -> (x32, y32, inf) */
+static PyObject *py_msm(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer xb, yb, ib, sb;
+    if (!PyArg_ParseTuple(args, "Oy*y*y*y*", &cap, &xb, &yb, &ib, &sb))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    Py_ssize_t n = ib.len;
+    fe *xs = (fe *)malloc(sizeof(fe) * n);
+    fe *ys = (fe *)malloc(sizeof(fe) * n);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        fe_from_bytes(c, &xs[i], (const uint8_t *)xb.buf + 32 * i);
+        fe_from_bytes(c, &ys[i], (const uint8_t *)yb.buf + 32 * i);
+    }
+    g1 res;
+    g1_msm(c, &res, xs, ys, (const uint8_t *)ib.buf,
+           (const uint64_t *)sb.buf, n);
+    free(xs);
+    free(ys);
+    uint8_t out[65];
+    if (fe_is_zero(&res.z)) {
+        memset(out, 0, 64);
+        out[64] = 1;
+    } else {
+        fe zi, zi2, ax, ay;
+        fe_inv(c, &zi, &res.z);
+        fe_sqr(c, &zi2, &zi);
+        fe_mul(c, &ax, &res.x, &zi2);
+        fe_mul(c, &zi2, &zi2, &zi);
+        fe_mul(c, &ay, &res.y, &zi2);
+        fe_to_bytes(c, out, &ax);
+        fe_to_bytes(c, out + 32, &ay);
+        out[64] = 0;
+    }
+    PyBuffer_Release(&xb);
+    PyBuffer_Release(&yb);
+    PyBuffer_Release(&ib);
+    PyBuffer_Release(&sb);
+    return PyBytes_FromStringAndSize((const char *)out, 65);
+}
+
+static void f12_from_bytes(const fctx *c, f12 *o, const uint8_t *b) {
+    fe *fes = (fe *)o;
+    for (int i = 0; i < 12; i++) fe_from_bytes(c, &fes[i], b + 32 * i);
+}
+static void f12_to_bytes(const fctx *c, uint8_t *b, const f12 *a) {
+    const fe *fes = (const fe *)a;
+    for (int i = 0; i < 12; i++) fe_to_bytes(c, b + 32 * i, &fes[i]);
+}
+
+/* miller(ctx, kind, sbits_bytes, P 64B, Qx 384B, Qy 384B) -> f12 768B
+ * kind: 0 = plain loop (BLS x>0), 1 = conjugate at end (BLS x<0),
+ *       2 = BN254 (frobenius correction lines; q1/q2 computed in C) */
+static PyObject *py_miller(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    int kind;
+    Py_buffer sbits, pb, qxb, qyb;
+    if (!PyArg_ParseTuple(args, "Oiy*y*y*y*", &cap, &kind, &sbits, &pb,
+                          &qxb, &qyb))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    fe xP, yP;
+    fe_from_bytes(c, &xP, (const uint8_t *)pb.buf);
+    fe_from_bytes(c, &yP, (const uint8_t *)pb.buf + 32);
+    f12 Qx, Qy, Tx, Ty, f, l;
+    f12_from_bytes(c, &Qx, (const uint8_t *)qxb.buf);
+    f12_from_bytes(c, &Qy, (const uint8_t *)qyb.buf);
+    Tx = Qx;
+    Ty = Qy;
+    f12_one(c, &f);
+    const uint8_t *bits = (const uint8_t *)sbits.buf;
+    for (Py_ssize_t i = 1; i < sbits.len; i++) { /* MSB first, skip top bit */
+        f12 fs;
+        f12_sqr(c, &fs, &f);
+        ate_dbl(c, &Tx, &Ty, &l, &xP, &yP);
+        f12_mul(c, &f, &fs, &l);
+        if (bits[i]) {
+            ate_add(c, &Tx, &Ty, &Qx, &Qy, &l, &xP, &yP);
+            f12_mul(c, &f, &f, &l);
+        }
+    }
+    if (kind == 1) {
+        f12 t;
+        f12_conj(c, &t, &f);
+        f = t;
+    } else if (kind == 2) {
+        /* q1 = pi(Q), q2 = -pi^2(Q) */
+        f12 q1x, q1y, q2x, q2y, t;
+        f12_frobenius(c, &q1x, &Qx, 1);
+        f12_frobenius(c, &q1y, &Qy, 1);
+        f12_frobenius(c, &q2x, &Qx, 2);
+        f12_frobenius(c, &t, &Qy, 2);
+        f6_neg(c, &q2y.c0, &t.c0);
+        f6_neg(c, &q2y.c1, &t.c1);
+        ate_add(c, &Tx, &Ty, &q1x, &q1y, &l, &xP, &yP);
+        f12_mul(c, &f, &f, &l);
+        ate_add(c, &Tx, &Ty, &q2x, &q2y, &l, &xP, &yP);
+        f12_mul(c, &f, &f, &l);
+    }
+    uint8_t out[768];
+    f12_to_bytes(c, out, &f);
+    PyBuffer_Release(&sbits);
+    PyBuffer_Release(&pb);
+    PyBuffer_Release(&qxb);
+    PyBuffer_Release(&qyb);
+    return PyBytes_FromStringAndSize((const char *)out, 768);
+}
+
+/* f12_mul(ctx, a 768B, b 768B) -> 768B */
+static PyObject *py_f12_mul(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer ab, bb;
+    if (!PyArg_ParseTuple(args, "Oy*y*", &cap, &ab, &bb)) return NULL;
+    fctx *c = get_ctx(cap);
+    f12 a, b, o;
+    f12_from_bytes(c, &a, (const uint8_t *)ab.buf);
+    f12_from_bytes(c, &b, (const uint8_t *)bb.buf);
+    f12_mul(c, &o, &a, &b);
+    uint8_t out[768];
+    f12_to_bytes(c, out, &o);
+    PyBuffer_Release(&ab);
+    PyBuffer_Release(&bb);
+    return PyBytes_FromStringAndSize((const char *)out, 768);
+}
+
+/* final_exp(ctx, f 768B, digits k*32B) -> 768B; digits base-p of hard part */
+static PyObject *py_final_exp(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer fb, db;
+    if (!PyArg_ParseTuple(args, "Oy*y*", &cap, &fb, &db)) return NULL;
+    fctx *c = get_ctx(cap);
+    f12 f;
+    f12_from_bytes(c, &f, (const uint8_t *)fb.buf);
+    /* easy: f = frob^2( conj(f) * inv(f) ) * (conj(f) * inv(f)) */
+    f12 fi, fc, t;
+    f12_inv(c, &fi, &f);
+    f12_conj(c, &fc, &f);
+    f12_mul(c, &t, &fc, &fi);
+    f12 t2;
+    f12_frobenius(c, &t2, &t, 2);
+    f12_mul(c, &f, &t2, &t);
+    /* hard: shared-squaring multi-exp over frobenius powers */
+    int k = (int)(db.len / 32);
+    const uint8_t *digits = (const uint8_t *)db.buf;
+    f12 *bases = (f12 *)malloc(sizeof(f12) * k);
+    bases[0] = f;
+    for (int i = 1; i < k; i++) f12_frobenius(c, &bases[i], &f, i);
+    /* max bit length */
+    int maxbit = 0;
+    for (int i = 0; i < k; i++) {
+        for (int byte = 31; byte >= 0; byte--) {
+            uint8_t v = digits[i * 32 + byte];
+            if (v) {
+                int b = byte * 8 + 7;
+                while (!((v >> (b - byte * 8)) & 1)) b--;
+                if (b + 1 > maxbit) maxbit = b + 1;
+                break;
+            }
+        }
+    }
+    f12 acc;
+    f12_one(c, &acc);
+    for (int bit = maxbit - 1; bit >= 0; bit--) {
+        f12 s;
+        f12_sqr(c, &s, &acc);
+        acc = s;
+        for (int i = 0; i < k; i++) {
+            if ((digits[i * 32 + bit / 8] >> (bit % 8)) & 1) {
+                f12_mul(c, &s, &acc, &bases[i]);
+                acc = s;
+            }
+        }
+    }
+    free(bases);
+    uint8_t out[768];
+    f12_to_bytes(c, out, &acc);
+    PyBuffer_Release(&fb);
+    PyBuffer_Release(&db);
+    return PyBytes_FromStringAndSize((const char *)out, 768);
+}
+
+/* is_one(ctx, f 768B) -> bool (f in NORMAL form bytes? no: montgomery cmp) */
+static PyObject *py_f12_is_one(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer fb;
+    if (!PyArg_ParseTuple(args, "Oy*", &cap, &fb)) return NULL;
+    fctx *c = get_ctx(cap);
+    f12 f;
+    f12_from_bytes(c, &f, (const uint8_t *)fb.buf);
+    int r = f12_is_one(c, &f);
+    PyBuffer_Release(&fb);
+    return PyBool_FromLong(r);
+}
+
+static PyMethodDef methods[] = {
+    {"ctx_new", py_ctx_new, METH_VARARGS, "create field context"},
+    {"msm", py_msm, METH_VARARGS, "G1 Pippenger MSM"},
+    {"miller", py_miller, METH_VARARGS, "ate Miller loop"},
+    {"f12_mul", py_f12_mul, METH_VARARGS, "Fq12 multiply"},
+    {"final_exp", py_final_exp, METH_VARARGS, "final exponentiation"},
+    {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "mpcjf_native", NULL, -1, methods,
+};
+
+PyMODINIT_FUNC PyInit_mpcjf_native(void) {
+    return PyModule_Create(&moduledef);
+}
