@@ -73,6 +73,23 @@ BABY_JUBJUB = TECurve(
 )
 
 
+# Bandersnatch (arkworks ed_on_bls12_381_bandersnatch): the GLV-endowed TE
+# curve over BLS12-381's scalar field (eprint 2021/1152).  Used by the GLV
+# gadget (relation/src/gadgets/ecc/glv.rs).
+BANDERSNATCH = TECurve(
+    name="ed_on_bls12_381_bandersnatch",
+    q=52435875175126190479447740508185965837690552500527637822603658699938581184513,
+    a=52435875175126190479447740508185965837690552500527637822603658699938581184508,
+    d=45022363124591815672509500913686876175488063829319466900776701791074614335719,
+    order=13108968793781547619861935127046491459309155893440570251786403306729687672801,
+    cofactor=4,
+    gen=(
+        18886178867200960497001835917649091219057080094937609519140440539760939937304,
+        19188667384257783945677642223292697773471335439753913231509108946878080696678,
+    ),
+)
+
+
 # BLS12-377 G1 in twisted-Edwards form (a = -1): the recursion circuit's
 # native curve — inner-curve commitments are converted SW->TE
 # (relation/src/gadgets/ecc/conversion.rs:62-96) and all in-circuit point

@@ -293,3 +293,39 @@ def test_variable_independence():
     assert c1.num_gates() == c2.num_gates()
     assert c1.num_vars == c2.num_vars
     assert c1.extended_permutation() == c2.extended_permutation()
+
+
+class TestGLV:
+    """Mirror of glv.rs tests: glv_mul vs native mul + decomposition."""
+
+    def test_host_endo_and_decomposition(self):
+        from mpc_jellyfish_tpu.relation.gadgets.glv import (
+            BANDERSNATCH_GLV as G, endomorphism, scalar_decomposition)
+        from mpc_jellyfish_tpu.utils.te_curve import BANDERSNATCH as BS
+        rng = random.Random(11)
+        pt = BS.mul(BS.gen, rng.randrange(2, BS.order))
+        assert endomorphism(BS, G, pt) == BS.mul(pt, G.lam)
+        for _ in range(4):
+            s = rng.randrange(BS.order)
+            k1, k2, pos = scalar_decomposition(BS, G, s)
+            sgn = 1 if pos else -1
+            assert (k1 - sgn * k2 * G.lam) % BS.order == s
+            assert k1 < (1 << 128) and k2 < (1 << 128)
+
+    def test_glv_mul(self):
+        from mpc_jellyfish_tpu.curves import BLS12_381
+        from mpc_jellyfish_tpu.utils.te_curve import BANDERSNATCH as BS
+        rng = random.Random(12)
+        for trial in range(2):
+            cs = PlonkCircuit(BLS12_381.fr)
+            s = rng.randrange(BS.order)
+            base_pt = BS.mul(BS.gen, rng.randrange(2, BS.order))
+            base = cs.create_point_variable(base_pt)
+            sv = cs.create_variable(s)
+            out = cs.glv_mul(BS, sv, base)
+            assert cs.point_witness(out) == BS.mul(base_pt, s)
+            cs.check_circuit_satisfiability([])
+            # corrupt the output: must be rejected
+            cs.witness[out.x] = (cs.witness[out.x] + 1) % BLS12_381.fr.p
+            with pytest.raises(CircuitError):
+                cs.check_circuit_satisfiability([])
