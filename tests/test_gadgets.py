@@ -329,3 +329,101 @@ class TestGLV:
             cs.witness[out.x] = (cs.witness[out.x] + 1) % BLS12_381.fr.p
             with pytest.raises(CircuitError):
                 cs.check_circuit_satisfiability([])
+
+
+class TestEmulatedECC:
+    """Mirror of ecc/emulated tests: non-native SW and TE point addition."""
+
+    def test_emulated_sw_add(self):
+        from mpc_jellyfish_tpu.curves import BLS12_377
+        from mpc_jellyfish_tpu.relation.gadgets.emulated import (
+            bls12_377_fq_over_bn254_fr)
+        from mpc_jellyfish_tpu.relation.gadgets import emulated_ecc as EE
+        from mpc_jellyfish_tpu.utils import ec_host as E
+        cfg = bls12_377_fq_over_bn254_fr()
+        q = cfg.modulus
+        rng = random.Random(21)
+        g = E.AffinePoint(*BLS12_377.g1_gen)
+        cs = PlonkCircuit(FR)
+        pts = [E.ec_mul(q, g, rng.randrange(2, 1 << 64)) for _ in range(3)]
+        sw = [EE.SWPoint(pt.x, pt.y, False) for pt in pts]
+        sw.append(EE.SWPoint(0, 0, True))           # infinity
+        sw.append(sw[0])                            # doubling case
+        pv = [EE.create_emulated_sw_point_variable(cs, cfg, s) for s in sw]
+        acc, acc_pt = pv[0], sw[0]
+        for nxt_v, nxt_p in zip(pv[1:], sw[1:]):
+            acc = EE.emulated_sw_ecc_add(cs, acc, nxt_v, 0)
+            acc_pt = EE.sw_point_add(q, 0, acc_pt, nxt_p)
+        got = EE.emulated_sw_point_witness(cs, acc)
+        # cross-check against the Jacobian host oracle
+        want = E.AffinePoint.infinity()
+        for pt in pts + [pts[0]]:
+            want = E.ec_add(q, want, pt)
+        assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+        assert got == acc_pt
+        cs.check_circuit_satisfiability([])
+        # corrupt a coordinate limb: must be rejected
+        cs.witness[acc.x.limbs[0]] = (cs.witness[acc.x.limbs[0]] + 1) % P
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
+
+    def test_emulated_te_add(self):
+        from mpc_jellyfish_tpu.relation.gadgets.emulated import EmulationConfig
+        from mpc_jellyfish_tpu.relation.gadgets import emulated_ecc as EE
+        # ed-on-bls12-377 (a=-1, d=3021) over bn254 Fr: base field is the
+        # bls12-377 scalar field (253 bits) -> 3x100-bit limbs
+        q = 8444461749428370424248824938781546531375899335154063827935233455917409239041
+        cfg = EmulationConfig(modulus=q, T=300, B=100, num_limbs=3)
+        a, d = q - 1, 3021
+        rng = random.Random(22)
+
+        def sqrt_mod(n):
+            # Tonelli-Shanks (q - 1 = 2^s * t)
+            if pow(n, (q - 1) // 2, q) != 1:
+                return None
+            s, t = 0, q - 1
+            while t % 2 == 0:
+                s, t = s + 1, t // 2
+            z = 2
+            while pow(z, (q - 1) // 2, q) == 1:
+                z += 1
+            m, c, u, r = s, pow(z, t, q), pow(n, t, q), pow(n, (t + 1) // 2, q)
+            while u != 1:
+                i, tmp = 0, u
+                while tmp != 1:
+                    tmp = tmp * tmp % q
+                    i += 1
+                b = pow(c, 1 << (m - i - 1), q)
+                m, c = i, b * b % q
+                r, u = r * b % q, u * b % q * b % q
+            return r
+
+        def sample_point():
+            while True:
+                x = rng.randrange(q)
+                den = (1 - d * x * x) % q
+                y2 = (1 + x * x) * pow(den, -1, q) % q
+                y = sqrt_mod(y2)
+                if y is not None:
+                    return (x, y)
+
+        def te_add(p0, p1):
+            x0, y0 = p0
+            x1, y1 = p1
+            dxy = d * x0 * x1 % q * y0 % q * y1 % q
+            x2 = (x0 * y1 + x1 * y0) * pow(1 + dxy, -1, q) % q
+            y2 = (y0 * y1 - a * x0 * x1) * pow(1 - dxy, -1, q) % q
+            return (x2, y2)
+
+        pts = [sample_point() for _ in range(3)]
+        cs = PlonkCircuit(FR)
+        pv = [EE.create_emulated_te_point_variable(cs, cfg, pt) for pt in pts]
+        acc_v, acc = pv[0], pts[0]
+        for v, pt in zip(pv[1:], pts[1:]):
+            acc_v = EE.emulated_te_ecc_add(cs, acc_v, v, a, d)
+            acc = te_add(acc, pt)
+        assert EE.emulated_te_point_witness(cs, acc_v) == acc
+        cs.check_circuit_satisfiability([])
+        cs.witness[acc_v.y.limbs[0]] = (cs.witness[acc_v.y.limbs[0]] + 1) % P
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
