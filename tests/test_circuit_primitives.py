@@ -191,3 +191,60 @@ class TestElGamalGadget:
         assert cs.witness_of(out.ephemeral.y) == ct.ephemeral[1]
         assert [cs.witness_of(v) for v in out.symm_ctxts] == ct.data
         cs.check_circuit_satisfiability([])
+
+
+class TestRescueNonNative:
+    """Mirror of circuit/rescue/non_native.rs tests: T = bls12-377 Fr
+    (alpha 11) emulated inside an F = bls12-377 Fq UltraPlonk circuit."""
+
+    def _mk(self):
+        from mpc_jellyfish_tpu.curves import BLS12_377
+        cs = PlonkCircuit(BLS12_377.fq, ultra_plonk=True, range_bit_len=16)
+        return cs, BLS12_377.fr
+
+    def test_permutation_matches_native(self):
+        from mpc_jellyfish_tpu.primitives.circuit import rescue_non_native as NN
+        cs, tspec = self._mk()
+        rng = random.Random(31)
+        state = [rng.randrange(tspec.p) for _ in range(4)]
+        expect = RescueParams(tspec).permute(state)
+        sv = NN.create_rescue_state_variable_non_native(cs, tspec, state)
+        out = NN.rescue_permutation_non_native(cs, tspec, sv)
+        got = [(cs.witness_of(x.v0) + (cs.witness_of(x.v1) << x.m)) % tspec.p
+               for x in out.state]
+        assert got == expect
+        cs.check_circuit_satisfiability([])
+        cs.witness[out.state[0].v0] = (cs.witness[out.state[0].v0] + 1) \
+            % cs.p
+        with pytest.raises(CircuitError):
+            cs.check_circuit_satisfiability([])
+
+    def test_sponge_matches_native(self):
+        from mpc_jellyfish_tpu.primitives.circuit import rescue_non_native as NN
+        from mpc_jellyfish_tpu.relation.gadgets.mod_arith import FpElemVar
+        cs, tspec = self._mk()
+        rng = random.Random(32)
+        data = [rng.randrange(tspec.p) for _ in range(3)]
+        expect = RescueCRHF(tspec).sponge_no_padding(data, 1)
+        m = NN.param_m(cs, tspec)
+        dv = [FpElemVar.new_from_field_element(cs, d, m) for d in data]
+        out = NN.rescue_sponge_no_padding_non_native(cs, tspec, dv, 1)
+        got = (cs.witness_of(out[0].v0)
+               + (cs.witness_of(out[0].v1) << out[0].m)) % tspec.p
+        assert got == expect[0]
+        cs.check_circuit_satisfiability([])
+
+    def test_prp_matches_native(self):
+        from mpc_jellyfish_tpu.primitives.circuit import rescue_non_native as NN
+        cs, tspec = self._mk()
+        rng = random.Random(33)
+        key = [rng.randrange(tspec.p) for _ in range(4)]
+        inp = [rng.randrange(tspec.p) for _ in range(4)]
+        expect = RescueParams(tspec).prp(key, inp)
+        kv = NN.create_rescue_state_variable_non_native(cs, tspec, key)
+        iv = NN.create_rescue_state_variable_non_native(cs, tspec, inp)
+        out = NN.rescue_prp_non_native(cs, tspec, kv, iv)
+        got = [(cs.witness_of(x.v0) + (cs.witness_of(x.v1) << x.m)) % tspec.p
+               for x in out.state]
+        assert got == expect
+        cs.check_circuit_satisfiability([])
