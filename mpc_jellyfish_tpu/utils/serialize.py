@@ -89,3 +89,151 @@ def usize_to_bytes(v: int) -> bytes:
 
 def u32_to_bytes(v: int) -> bytes:
     return v.to_bytes(4, "little")
+
+
+# ---------------------------------------------------------------------------
+# arkworks CanonicalSerialize (compressed) layout for proofs
+# (reference proof_system/structs.rs:56-100 derive; vectors carry a u64-LE
+# length prefix, Option<T> a single presence byte)
+# ---------------------------------------------------------------------------
+
+def _ser_vec(items, ser_one) -> bytes:
+    out = usize_to_bytes(len(items))
+    for it in items:
+        out += ser_one(it)
+    return out
+
+
+def proof_to_bytes(curve: CurveSpec, proof) -> bytes:
+    """CanonicalSerialize-compressed layout of `Proof`
+    (proof_system/structs.rs:59-100)."""
+    fr = curve.fr
+    g1 = lambda pt: g1_to_bytes(curve, pt)
+    f = lambda v: field_to_bytes(fr, v)
+    ev = proof.poly_evals
+    out = _ser_vec(proof.wires_poly_comms, g1)
+    out += g1(proof.prod_perm_poly_comm)
+    out += _ser_vec(proof.split_quot_poly_comms, g1)
+    out += g1(proof.opening_proof)
+    out += g1(proof.shifted_opening_proof)
+    out += _ser_vec(ev.wires_evals, f)
+    out += _ser_vec(ev.wire_sigma_evals, f)
+    out += f(ev.perm_next_eval)
+    if proof.plookup_proof is None:
+        out += b"\x00"
+    else:
+        pl = proof.plookup_proof
+        out += b"\x01"
+        out += _ser_vec(pl.h_poly_comms, g1)
+        out += g1(pl.prod_lookup_poly_comm)
+        pe = pl.poly_evals
+        out += b"".join(f(v) for v in (
+            pe.range_table_eval, pe.key_table_eval, pe.h_1_eval,
+            pe.q_lookup_eval, pe.prod_next_eval, pe.table_dom_sep_eval,
+            pe.q_dom_sep_eval, pe.range_table_next_eval,
+            pe.key_table_next_eval, pe.h_1_next_eval, pe.h_2_next_eval,
+            pe.q_lookup_next_eval, pe.w_3_next_eval, pe.w_4_next_eval,
+            pe.table_dom_sep_next_eval))
+    return out
+
+
+def proof_from_bytes(curve: CurveSpec, b: bytes):
+    """Inverse of `proof_to_bytes`."""
+    from ..plonk.structs import (Proof, ProofEvaluations, PlookupProof,
+                                 PlookupEvaluations)
+    fr = curve.fr
+    flen = field_byte_len(fr)
+    g1len = field_byte_len(curve.fq)
+    pos = [0]
+
+    def take(k):
+        s = b[pos[0]:pos[0] + k]
+        pos[0] += k
+        return s
+
+    def rd_len():
+        return int.from_bytes(take(8), "little")
+
+    def rd_g1():
+        return g1_from_bytes(curve, take(g1len))
+
+    def rd_f():
+        return field_from_bytes(fr, take(flen))
+
+    def rd_vec(rd):
+        return [rd() for _ in range(rd_len())]
+
+    wires = rd_vec(rd_g1)
+    prod = rd_g1()
+    quot = rd_vec(rd_g1)
+    opening = rd_g1()
+    shifted = rd_g1()
+    we = rd_vec(rd_f)
+    wse = rd_vec(rd_f)
+    pne = rd_f()
+    plookup = None
+    if take(1) == b"\x01":
+        h_comms = rd_vec(rd_g1)
+        prod_lookup = rd_g1()
+        vals = [rd_f() for _ in range(15)]
+        plookup = PlookupProof(
+            h_poly_comms=h_comms, prod_lookup_poly_comm=prod_lookup,
+            poly_evals=PlookupEvaluations(*vals))
+    return Proof(wires_poly_comms=wires, prod_perm_poly_comm=prod,
+                 split_quot_poly_comms=quot, opening_proof=opening,
+                 shifted_opening_proof=shifted,
+                 poly_evals=ProofEvaluations(
+                     wires_evals=we, wire_sigma_evals=wse,
+                     perm_next_eval=pne),
+                 plookup_proof=plookup)
+
+
+# ---------------------------------------------------------------------------
+# tagged-base64 blobs (reference #[tagged(tag::PROOF)] etc., structs.rs:59;
+# format of the espresso tagged-base64 crate: TAG~base64url(data||checksum),
+# checksum = bitwise-NOT of (sum of tag and data bytes) mod 256)
+# ---------------------------------------------------------------------------
+
+TAG_PROOF = "PROOF"
+TAG_BATCHPROOF = "BATCHPROOF"
+TAG_VERKEY = "VERKEY"
+
+_B64_ALPHABET = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+                 "0123456789-_")
+
+
+def _tb64_checksum(tag: str, data: bytes) -> int:
+    return (~(sum(tag.encode()) + sum(data)) + 0x100) & 0xFF
+
+
+def tagged_base64_encode(tag: str, data: bytes) -> str:
+    import base64
+    if any(c not in _B64_ALPHABET for c in tag):
+        raise ValueError(f"invalid tagged-base64 tag: {tag!r}")
+    payload = data + bytes([_tb64_checksum(tag, data)])
+    enc = base64.urlsafe_b64encode(payload).rstrip(b"=").decode()
+    return f"{tag}~{enc}"
+
+
+def tagged_base64_decode(s: str, expect_tag: str | None = None):
+    import base64
+    tag, _, enc = s.partition("~")
+    if not _:
+        raise ValueError("missing ~ separator")
+    if expect_tag is not None and tag != expect_tag:
+        raise ValueError(f"tag mismatch: {tag!r} != {expect_tag!r}")
+    pad = "=" * (-len(enc) % 4)
+    payload = base64.urlsafe_b64decode(enc + pad)
+    data, cksum = payload[:-1], payload[-1]
+    if cksum != _tb64_checksum(tag, data):
+        raise ValueError("tagged-base64 checksum mismatch")
+    return tag, data
+
+
+def proof_to_tagged_b64(curve: CurveSpec, proof) -> str:
+    return tagged_base64_encode(TAG_PROOF, proof_to_bytes(curve, proof))
+
+
+def proof_from_tagged_b64(curve: CurveSpec, s: str):
+    _, data = tagged_base64_decode(s, TAG_PROOF)
+    return proof_from_bytes(curve, data)
