@@ -24,9 +24,24 @@ Per-domain constants (1/(n(x-1)) etc. on the coset) are cached on the Prover
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
+
+_TRACE = os.environ.get("MPC_JELLYFISH_TPU_TRACE", "") == "1"
+
+
+def _trb(label, t0, *sync):
+    """Blocking sub-trace point (only under MPC_JELLYFISH_TPU_TRACE=1)."""
+    if _TRACE:
+        if sync:
+            jax.block_until_ready(sync)
+        print(f"      [prover] {label}: {time.time() - t0:.2f}s",
+              file=sys.stderr, flush=True)
+    return time.time()
 
 from ..ops import field as F
 from ..ops import ntt as N
@@ -207,11 +222,15 @@ class Prover:
             return padded, self._msm_scalars(spec, padded, nck)
 
         from ..utils.aot_cache import cached_jit
+        t0 = time.time()
         f = cached_jit(f"r1-{spec.name}-n{n}-W{W}-msk{int(mask)}-nck{nck}",
                        fn, wire_values, md, domain.twiddles_inv,
                        domain.bitrev)
+        t0 = _trb("r1 get-exe", t0)
         padded, sc = f(wire_values, md, domain.twiddles_inv, domain.bitrev)
+        t0 = _trb("r1 intt+mask+prep", t0, sc)
         comms = kzg.commit_batch_stacked(ck, sc)
+        _trb("r1 commit", t0)
         return comms, [padded[:, i] for i in range(W)]
 
     def pub_input_poly(self, pi_values):

