@@ -68,8 +68,17 @@ def bench_size(curve, log_n: int, reps: int, srs=None):
     snark = PlonkKzgSnark(curve)
     if srs is None or srs.max_degree < cs.srs_size():
         t0 = time.time()
-        srs = kzg.universal_setup_for_testing(curve, cs.srs_size(), seed=3)
-        log(f"srs: {time.time()-t0:.1f}s")
+        cache_dir = os.path.expanduser("~/.cache/mpc_jellyfish_tpu_srs")
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir,
+                            f"{curve.name}-{cs.srs_size()}-s3.npz")
+        if os.path.exists(path):
+            srs = kzg.UniversalSrs.load(path, curve)
+            log(f"srs: {time.time()-t0:.1f}s (disk cache)")
+        else:
+            srs = kzg.universal_setup_for_testing(curve, cs.srs_size(), seed=3)
+            srs.save(path)
+            log(f"srs: {time.time()-t0:.1f}s (generated + cached)")
     t0 = time.time()
     pk, vk = snark.preprocess(srs, cs)
     log(f"preprocess: {time.time()-t0:.1f}s")

@@ -36,7 +36,23 @@ class Domain:
     be a static jit argument.
     """
 
+    _INTERN: dict = {}
+
+    def __new__(cls, spec: FieldSpec, n: int):
+        # Interned by (field, n): domain tables (host twiddle generation is
+        # O(n) Python bigint work) are built once per process, not per
+        # Prover construction.
+        key = (spec.name, n)
+        inst = cls._INTERN.get(key)
+        if inst is None:
+            inst = super().__new__(cls)
+            cls._INTERN[key] = inst
+        return inst
+
     def __init__(self, spec: FieldSpec, n: int):
+        if getattr(self, "_ready", False):
+            return
+        self._ready = True
         assert n & (n - 1) == 0, "domain size must be a power of two"
         self.spec = spec
         self.n = n
@@ -135,20 +151,30 @@ class Domain:
 class CosetTable:
     """Per-(domain, g) coset scaling powers g^j / g^-j (Montgomery, device)."""
 
+    _INTERN: dict = {}
+
+    def __new__(cls, domain: Domain, g: int | None = None):
+        key = (domain.spec.name, domain.n,
+               domain.generator if g is None else g)
+        inst = cls._INTERN.get(key)
+        if inst is None:
+            inst = super().__new__(cls)
+            cls._INTERN[key] = inst
+        return inst
+
     def __init__(self, domain: Domain, g: int | None = None):
+        if getattr(self, "_ready", False):
+            return
+        self._ready = True
         spec = domain.spec
         self.domain = domain
         self.g = domain.generator if g is None else g
         g_inv = pow(self.g, -1, spec.p)
-        pw, pwi = [], []
-        cur, curi = 1, 1
-        for _ in range(domain.n):
-            pw.append(spec.to_mont_int(cur))
-            pwi.append(spec.to_mont_int(curi))
-            cur = cur * self.g % spec.p
-            curi = curi * g_inv % spec.p
-        self.pows = jnp.asarray(ints_to_limbs(pw, spec.num_limbs))
-        self.pows_inv = jnp.asarray(ints_to_limbs(pwi, spec.num_limbs))
+        # device log-depth power tables (a host bigint loop here costs
+        # ~1.5s at n=2^19 and used to run per Prover construction)
+        self.pows = F.powers(spec, spec.to_device([self.g])[:, 0], domain.n)
+        self.pows_inv = F.powers(spec, spec.to_device([g_inv])[:, 0],
+                                 domain.n)
 
 
 def _dif(spec: FieldSpec, x: jnp.ndarray, twiddles, log_n: int) -> jnp.ndarray:

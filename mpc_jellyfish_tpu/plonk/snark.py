@@ -199,7 +199,15 @@ class PlonkKzgSnark:
 
         challenges = Challenges()
         oracles_list = [Oracles() for _ in circuits]
-        prover = Prover(spec, n, num_wire_types, backend=self.backend)
+        # one Prover per (n, W): keeps its cached per-domain coset constants
+        # (device tensors) alive across repeated proves
+        cache = getattr(self, "_prover_cache", None)
+        if cache is None:
+            cache = self._prover_cache = {}
+        prover = cache.get((n, num_wire_types))
+        if prover is None:
+            prover = Prover(spec, n, num_wire_types, backend=self.backend)
+            cache[(n, num_wire_types)] = prover
 
         # Round 1
         wires_poly_comms_vec = []
@@ -218,11 +226,14 @@ class PlonkKzgSnark:
                 cache = (wv, pi)
                 c._device_cache = cache
             wv, pi = cache
+            t0 = _tr("r1: witness cache/upload", t0)
             wire_values = [wv[:, j] for j in range(c.num_wire_types)]
             wire_values_list.append(wire_values)
             comms, polys = prover.run_1st_round(pks[i].commit_key, wv, rng, mask)
-            oracles_list[i].wire_polys = polys
+            t0 = _tr("r1: round body", t0)
             oracles_list[i].pub_inp_poly = prover.pub_input_poly(pi)
+            oracles_list[i].wire_polys = polys
+            t0 = _tr("r1: pi poly", t0)
             transcript.append_commitments(b"witness_poly_comms", comms)
             wires_poly_comms_vec.append(comms)
         t0 = _tr("round 1 (wires)", t0)
