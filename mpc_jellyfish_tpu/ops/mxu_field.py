@@ -134,6 +134,10 @@ def _fold_to_field(spec: FieldSpec, conv: jnp.ndarray) -> jnp.ndarray:
     # V = V_lo + 2^256 V_hi + 2^512 top  (V < 128 p^2 < 2^515, so the top
     # word is a single small limb).  mont_mul by 2^{256+256k} mod p moves
     # each group down: mul(x, 2^512 mod p) = x * 2^256 (mod p), etc.
+    # F.mul's CIOS bound (< p for a < R, b < p) makes hi/top parts
+    # canonical; v_lo itself is only < R = 2^256, so bring it under p with
+    # ceil(R/p) conditional subtracts (F.add-zero passes) -- REQUIRED so
+    # chained MXU ops never overflow the 2^256 limb budget.
     bshape = (L,) + (1,) * len(batch)
     r2 = _rk_const(spec, 2)
     hi_part = F.mul(spec, v_hi,
@@ -142,6 +146,9 @@ def _fold_to_field(spec: FieldSpec, conv: jnp.ndarray) -> jnp.ndarray:
     r3 = _rk_const(spec, 3)
     top_part = F.mul(spec, top_limbs,
                      jnp.broadcast_to(r3.reshape(bshape), top_limbs.shape))
+    zero = jnp.zeros_like(v_lo)
+    for _ in range(-((1 << (16 * L)) // -spec.p) - 1):   # ceil(R/p) - 1
+        v_lo = F.add(spec, v_lo, zero)
     return F.add(spec, F.add(spec, v_lo, hi_part), top_part)
 
 
