@@ -57,7 +57,19 @@ def _keccak_f(state):
 
 
 def keccak256(data: bytes) -> bytes:
-    """Keccak-256 with the original 0x01 domain padding (Ethereum flavor)."""
+    """Keccak-256 with the original 0x01 domain padding (Ethereum flavor).
+
+    Routes through the C host runtime when available (~150x; the verifier
+    replays ~70 transcript hashes per proof); this Python sponge is the
+    oracle."""
+    from . import native as _nv
+    mod = _nv._load()
+    if mod is not None and hasattr(mod, "keccak256"):
+        return mod.keccak256(bytes(data))
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136  # bytes (1088-bit rate)
     # pad10*1 with 0x01 domain byte
     padded = bytearray(data)

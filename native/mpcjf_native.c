@@ -876,6 +876,93 @@ static PyObject *py_f12_is_one(PyObject *self, PyObject *args) {
     return PyBool_FromLong(r);
 }
 
+
+/* ---- Keccak-256 (Ethereum 0x01 padding) -------------------------------- */
+
+static const uint64_t KC_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+static inline uint64_t kc_rotl(uint64_t x, int n) {
+    return n ? (x << n) | (x >> (64 - n)) : x;
+}
+
+static void keccak_f1600(uint64_t s[25]) {
+    /* s[x + 5*y] */
+    static const int ROT[25] = {
+         0, 36,  3, 41, 18,
+         1, 44, 10, 45,  2,
+        62,  6, 43, 15, 61,
+        28, 55, 25, 21, 56,
+        27, 20, 39,  8, 14,
+    };
+    uint64_t b[25], c[5], d[5];
+    for (int r = 0; r < 24; r++) {
+        for (int x = 0; x < 5; x++)
+            c[x] = s[x] ^ s[x + 5] ^ s[x + 10] ^ s[x + 15] ^ s[x + 20];
+        for (int x = 0; x < 5; x++)
+            d[x] = c[(x + 4) % 5] ^ kc_rotl(c[(x + 1) % 5], 1);
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++)
+                s[x + 5 * y] ^= d[x];
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++)
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = kc_rotl(s[x + 5 * y],
+                                                           ROT[x * 5 + y]);
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++)
+                s[x + 5 * y] = b[x + 5 * y]
+                    ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+        s[0] ^= KC_RC[r];
+    }
+}
+
+static PyObject *py_keccak256(PyObject *self, PyObject *args) {
+    Py_buffer data;
+    if (!PyArg_ParseTuple(args, "y*", &data)) return NULL;
+    const size_t rate = 136;
+    uint64_t s[25] = {0};
+    const uint8_t *p = (const uint8_t *)data.buf;
+    size_t len = data.len;
+    uint8_t block[136];
+    size_t off = 0;
+    while (len - off >= rate) {
+        for (size_t i = 0; i < rate / 8; i++) {
+            uint64_t lane;
+            memcpy(&lane, p + off + 8 * i, 8);
+            s[i % 5 + 5 * (i / 5)] ^= lane;
+        }
+        keccak_f1600(s);
+        off += rate;
+    }
+    /* final partial block with 0x01 .. 0x80 padding */
+    size_t rem = len - off;
+    memset(block, 0, rate);
+    memcpy(block, p + off, rem);
+    block[rem] ^= 0x01;
+    block[rate - 1] ^= 0x80;
+    for (size_t i = 0; i < rate / 8; i++) {
+        uint64_t lane;
+        memcpy(&lane, block + 8 * i, 8);
+        s[i % 5 + 5 * (i / 5)] ^= lane;
+    }
+    keccak_f1600(s);
+    PyBuffer_Release(&data);
+    uint8_t out[32];
+    for (int i = 0; i < 4; i++) {
+        uint64_t lane = s[i % 5 + 5 * (i / 5)];
+        memcpy(out + 8 * i, &lane, 8);
+    }
+    return PyBytes_FromStringAndSize((const char *)out, 32);
+}
+
 static PyMethodDef methods[] = {
     {"ctx_new", py_ctx_new, METH_VARARGS, "create field context"},
     {"msm", py_msm, METH_VARARGS, "G1 Pippenger MSM"},
@@ -883,6 +970,7 @@ static PyMethodDef methods[] = {
     {"f12_mul", py_f12_mul, METH_VARARGS, "Fq12 multiply"},
     {"final_exp", py_final_exp, METH_VARARGS, "final exponentiation"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
+    {"keccak256", py_keccak256, METH_VARARGS, "Keccak-256 (eth padding)"},
     {NULL, NULL, 0, NULL},
 };
 
