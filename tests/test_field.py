@@ -105,3 +105,15 @@ def test_select_iszero():
     a = spec.to_device(xs)
     z = np.asarray(F.is_zero(spec, a))
     assert list(z) == [True, False, True, False]
+
+
+def test_batch_inv():
+    import random
+    from mpc_jellyfish_tpu.curves import BN254
+    from mpc_jellyfish_tpu.ops import field as F
+    spec = BN254.fr
+    rng = random.Random(9)
+    vals = [rng.randrange(1, spec.p) for _ in range(37)]
+    x = spec.to_device(vals)
+    assert spec.from_device(F.batch_inv(spec, x)) == \
+        [pow(v, -1, spec.p) for v in vals]
