@@ -226,3 +226,173 @@ def verify(vp: MultilinearVerifierParam, comm: AffinePoint, point: list,
     g1s.append(last)
     g2s.append(vp.h)
     return PR.pairing_check(curve, g1s, g2s)
+
+
+# ---------------------------------------------------------------------------
+# batch open / verify via q(x) = w(l(x))  (batching.rs:57-270, util.rs)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MultilinearKzgBatchProof:
+    """mod.rs:64-74."""
+    proof: MultilinearKzgProof        # opening of the merged MLE at l(r)
+    q_x_commit: AffinePoint           # univariate commitment to q(x)
+    q_x_opens: list                   # k+1 AffinePoints (omega^i .. , r)
+
+
+def _host_intt(r: int, vals: list, w: int) -> list:
+    """Exact host inverse NTT over F_r (domain generated by w, |vals| = k)."""
+    k = len(vals)
+    w_inv = pow(w, -1, r)
+    k_inv = pow(k, -1, r)
+    return [sum(v * pow(w_inv, i * j, r) for j, v in enumerate(vals))
+            * k_inv % r for i in range(k)]
+
+
+def _poly_eval_host(r: int, coeffs: list, x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % r
+    return acc
+
+
+def _mle_eval_host(r: int, evals: list, point: list) -> int:
+    f = list(evals)
+    for p_i in point:
+        f = [(f[2 * b] + (f[2 * b + 1] - f[2 * b]) * p_i) % r
+             for b in range(len(f) // 2)]
+    return f[0]
+
+
+def _build_l(curve: CurveSpec, num_var: int, points: list, dom) -> list:
+    """Univariate polys through the points + index-bit prefix polys
+    (util.rs:244-270): returns [l_0..l_{nv-1}, pre_0..pre_{P-1}] with
+    l_j(w^i) = points[i][j] and pre_t(w^i) = bit t of i."""
+    r = curve.fr.p
+    k = dom.n
+    prefix_len = max(1, (len(points) - 1).bit_length()) \
+        if len(points) > 1 else 0
+    out = []
+    for j in range(num_var):
+        vals = [pt[j] for pt in points] + [0] * (k - len(points))
+        out.append(_host_intt(r, vals, dom.w))
+    for t in range(prefix_len):
+        vals = [(i >> t) & 1 for i in range(len(points))] + \
+            [0] * (k - len(points))
+        out.append(_host_intt(r, vals, dom.w))
+    return out
+
+
+def merge_polynomials(curve: CurveSpec, evals_list: list):
+    """Concatenate MLE evaluation vectors, zero-padded to the next
+    power-of-two variable count (util.rs:227-241).  Host ints."""
+    nv = (len(evals_list[0])).bit_length() - 1
+    for e in evals_list:
+        if len(e) != 1 << nv:
+            raise PCSError("num_vars do not match for polynomials")
+    merged_nv = nv + max(1, (len(evals_list) - 1).bit_length()) \
+        if len(evals_list) > 1 else nv
+    scalars = [v for e in evals_list for v in e]
+    scalars += [0] * ((1 << merged_nv) - len(scalars))
+    return merged_nv, scalars
+
+
+def _batch_transcript_r(curve: CurveSpec, batch_comm: AffinePoint,
+                        points: list, q_commit: AffinePoint) -> int:
+    """Challenge r from a keccak transcript over (w-comm, points, q-comm).
+    (The reference uses its IOPTranscript; this derivation is the
+    framework-native equivalent -- self-consistent prover/verifier.)"""
+    from ..utils.keccak import keccak256
+    from ..utils import serialize as S
+    st = b"ml kzg"
+    st = keccak256(st + S.g1_to_bytes(curve, batch_comm))
+    for pt in points:
+        for v in pt:
+            st = keccak256(st + S.field_to_bytes(curve.fr, v))
+    st = keccak256(st + S.g1_to_bytes(curve, q_commit))
+    return int.from_bytes(st, "big") % curve.fr.p
+
+
+def batch_open(uni_ck, ml_pp: MultilinearProverParam, evals_list: list,
+               batch_comm: AffinePoint, points: list):
+    """Open k MLEs at k points through the merged polynomial
+    (batching.rs:57-160).  evals_list: host evaluation vectors.
+
+    Returns (MultilinearKzgBatchProof, q_x_evals)."""
+    from .kzg import commit as uni_commit, open_at as uni_open
+    from ..ops.ntt import Domain
+    curve = ml_pp.curve
+    r_mod = curve.fr.p
+    if not points or len(points) != len(evals_list):
+        raise PCSError("polynomial/point length mismatch")
+    num_var = (len(evals_list[0])).bit_length() - 1
+    for pt in points:
+        if len(pt) != num_var:
+            raise PCSError("points do not have same num_vars")
+
+    k = 1 << max(1, (len(points) - 1).bit_length())
+    dom = Domain(curve.fr, k)
+    uni_polys = _build_l(curve, num_var, points, dom)
+    merged_nv, merged = merge_polynomials(curve, evals_list)
+
+    # q(x) = w(l(x)) by evaluation on a large-enough domain + interpolation
+    uni_degree = (len(uni_polys) + 2) * k
+    qdom = Domain(curve.fr, 1 << (uni_degree - 1).bit_length())
+    q_evals = []
+    for i in range(qdom.n):
+        x = pow(qdom.w, i, r_mod)
+        pt = [_poly_eval_host(r_mod, lp, x) for lp in uni_polys]
+        q_evals.append(_mle_eval_host(r_mod, merged, pt))
+    q_coeffs = _host_intt(r_mod, q_evals, qdom.w)
+    q_dev = curve.fr.to_device(q_coeffs)
+
+    q_commit = uni_commit(uni_ck, q_dev)
+    r = _batch_transcript_r(curve, batch_comm, points, q_commit)
+
+    q_x_opens, q_x_evals = [], []
+    for i in range(len(points)):
+        opn, ev = uni_open(uni_ck, q_dev, pow(dom.w, i, r_mod))
+        q_x_opens.append(opn)
+        q_x_evals.append(ev)
+    opn, q_r = uni_open(uni_ck, q_dev, r)
+    q_x_opens.append(opn)
+    q_x_evals.append(q_r)
+
+    # p := l(r), open the merged MLE there
+    p_point = [_poly_eval_host(r_mod, lp, r) for lp in uni_polys]
+    merged_dev = curve.fr.to_device(merged)
+    mle_proof, mle_eval = open_at(ml_pp, merged_dev, p_point)
+    if mle_eval != q_r:
+        raise PCSError("q(r) does not match w(l(r))")
+    return MultilinearKzgBatchProof(proof=mle_proof, q_x_commit=q_commit,
+                                    q_x_opens=q_x_opens), q_x_evals
+
+
+def batch_verify(uni_vk, ml_vk: MultilinearVerifierParam,
+                 batch_comm: AffinePoint, points: list, values: list,
+                 proof: MultilinearKzgBatchProof) -> bool:
+    """batching.rs:172-270."""
+    from .kzg import verify_open as uni_verify
+    from ..ops.ntt import Domain
+    curve = ml_vk.curve
+    r_mod = curve.fr.p
+    if len(values) != len(points) + 1:
+        return False
+    num_var = len(points[0])
+    k = 1 << max(1, (len(points) - 1).bit_length())
+    dom = Domain(curve.fr, k)
+    r = _batch_transcript_r(curve, batch_comm, points, proof.q_x_commit)
+
+    # univariate openings of q at omega^i and r
+    for i in range(len(points)):
+        if not uni_verify(uni_vk, proof.q_x_commit, pow(dom.w, i, r_mod),
+                          values[i], proof.q_x_opens[i]):
+            return False
+    if not uni_verify(uni_vk, proof.q_x_commit, r, values[-1],
+                      proof.q_x_opens[-1]):
+        return False
+
+    # p := l(r); multilinear check of the merged commitment at p
+    uni_polys = _build_l(curve, num_var, points, dom)
+    p_point = [_poly_eval_host(r_mod, lp, r) for lp in uni_polys]
+    return verify(ml_vk, batch_comm, p_point, values[-1], proof.proof)

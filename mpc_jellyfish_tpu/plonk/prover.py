@@ -421,7 +421,10 @@ class Prover:
             f = cached_jit(
                 f"r3a-{spec.name}-m{self.m}-W{W}-lk{int(lookup)}-{lens}"
                 f"-k{consts.shape[1]}", fn, *args)
-            return f(*args)
+            t0 = time.time()
+            out = f(*args)
+            _trb("r3a exe", t0, out)
+            return out
 
         stacked = jnp.stack([
             jnp.concatenate([g, F.zeros(spec, (self.m - g.shape[1],))], axis=1)
@@ -647,8 +650,11 @@ class Prover:
                 qd.bitrev)
         f = cached_jit(f"r3b-{spec.name}-m{self.m}-n{n}-W{W}"
                        f"-msk{int(mask)}-nck{nck}", fn, *args)
+        t0 = time.time()
         st, sc = f(*args)
+        t0 = _trb("r3b exe", t0, sc)
         comms = kzg.commit_batch_stacked(ck, sc)
+        _trb("r3b commit", t0)
         return comms, [st[:, i] for i in range(W)]
 
     # -- round 4: evaluations ---------------------------------------------

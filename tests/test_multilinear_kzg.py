@@ -49,3 +49,40 @@ class TestMultilinearKzg:
         assert ML.eq_eval(x, y, R) == 1
         y[3] ^= 1
         assert ML.eq_eval(x, y, R) == 0
+
+
+class TestMultilinearBatch:
+    def test_batch_open_verify(self):
+        from mpc_jellyfish_tpu.pcs import kzg
+        rng = random.Random(61)
+        nv, npolys = 3, 2
+        srs = ML.gen_srs_for_testing(BN254, nv + 1, seed=8)
+        ck, vk = srs.trim(nv + 1)
+        # univariate SRS large enough for q(x)
+        uni_srs = kzg.universal_setup_for_testing(BN254, 1 << 6, seed=8)
+        uni_ck, uni_vk = uni_srs.trim(1 << 6)
+
+        evals_list = [[rng.randrange(R) for _ in range(1 << nv)]
+                      for _ in range(npolys)]
+        points = [[rng.randrange(R) for _ in range(nv)]
+                  for _ in range(npolys)]
+        mnv, merged = ML.merge_polynomials(BN254, evals_list)
+        assert mnv == nv + 1
+        batch_comm = ML.commit(ck, BN254.fr.to_device(merged))
+        proof, values = ML.batch_open(uni_ck, ck, evals_list, batch_comm,
+                                      points)
+        # the omega^i evaluations carry each poly's value at its own point
+        # through the merged MLE: cross-check against direct evaluation
+        for i in range(npolys):
+            from mpc_jellyfish_tpu.pcs.multilinear_kzg import _mle_eval_host
+            dom = __import__("mpc_jellyfish_tpu.ops.ntt",
+                             fromlist=["Domain"]).Domain(BN254.fr, 2)
+            # values[i] corresponds to the merged MLE at l(omega^i), whose
+            # inner coordinates are points[i] and prefix selects poly i
+            assert values[i] == _mle_eval_host(
+                R, merged, points[i] + [(i >> t) & 1 for t in range(1)])
+        assert ML.batch_verify(uni_vk, vk, batch_comm, points, values, proof)
+        # wrong value rejected
+        bad = list(values)
+        bad[-1] = (bad[-1] + 1) % R
+        assert not ML.batch_verify(uni_vk, vk, batch_comm, points, bad, proof)
