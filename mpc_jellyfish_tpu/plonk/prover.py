@@ -399,25 +399,75 @@ class Prover:
                       pk.plookup_pk.table_dom_sep_poly, pk.plookup_pk.q_dom_sep_poly,
                       po.h_polys[0], po.h_polys[1], po.prod_lookup_poly]
         if self._fusable:
-            # fused: pad+stack + batched coset NTT + the whole gate/copy
-            # (+lookup) evaluation in ONE executable
+            # The selector/sigma (+ lookup table) polynomials are fixed per
+            # circuit: their coset FFTs are computed ONCE and cached on the
+            # proving key.  Only the per-proof polynomials (wires, z, PI,
+            # lookup oracles) are transformed inside the round executable -
+            # 21 -> 8 transforms on the 8n domain (the round's hot loop).
             qd = self.quot_domain
-            lens = "_".join(str(g.shape[1]) for g in group)
+            from ..utils.aot_cache import cached_jit
+            n_head = n_sel + W                  # selectors + sigmas
+            static_group = group[:n_head]
+            dynamic = group[n_head:n_head + W + 2]
+            if lookup:
+                static_group = static_group + group[n_head + W + 2:
+                                                    n_head + W + 6]
+                dynamic = dynamic + group[n_head + W + 6:]
 
-            def fn(group_, consts_, x_, zh_, i1_, ign_, pows, tw, br):
+            # HBM budget: the cache is 4*L*m bytes per static poly
+            # (600MB at n=2^16, 9.5GB at 2^20) - above the cap, transform
+            # everything per-prove instead of caching
+            cache_bytes = 4 * spec.num_limbs * self.m * len(static_group)
+            if cache_bytes > int(os.environ.get(
+                    "MPC_JELLYFISH_TPU_STATIC_FFT_CACHE_BYTES", 3_000_000_000)):
+                static_group = []
+                dynamic = group
+                n_head = 0
+
+            static_ffts = getattr(pk, "_coset_fft_cache", None)
+            if static_ffts is None and static_group:
+                slens = "_".join(str(g.shape[1]) for g in static_group)
+
+                def fs(group_, pows, tw, br):
+                    stacked = jnp.stack([
+                        jnp.concatenate(
+                            [g, F.zeros(spec, (self.m - g.shape[1],))],
+                            axis=1)
+                        if g.shape[1] < self.m else g
+                        for g in group_], axis=1)
+                    return N._coset_ntt_jit(qd, stacked, pows, tw, br)
+
+                sargs = (tuple(static_group), self.coset.pows,
+                         qd.twiddles_fwd, qd.bitrev)
+                f = cached_jit(f"r3s-{spec.name}-m{self.m}-{slens}", fs,
+                               *sargs)
+                static_ffts = f(*sargs)
+                pk._coset_fft_cache = static_ffts
+            if static_ffts is None:
+                static_ffts = F.zeros(spec, (0, self.m))   # cache disabled
+
+            lens = "_".join(str(g.shape[1]) for g in dynamic)
+
+            def fn(dyn_, static_, consts_, x_, zh_, i1_, ign_, pows, tw, br):
                 stacked = jnp.stack([
                     jnp.concatenate(
                         [g, F.zeros(spec, (self.m - g.shape[1],))], axis=1)
-                    if g.shape[1] < self.m else g for g in group_], axis=1)
-                ffts = N._coset_ntt_jit(qd, stacked, pows, tw, br)
+                    if g.shape[1] < self.m else g for g in dyn_], axis=1)
+                dyn_ffts = N._coset_ntt_jit(qd, stacked, pows, tw, br)
+                if n_head == 0:
+                    ffts = dyn_ffts       # cache disabled: original order
+                else:
+                    parts = [static_[:, :n_head], dyn_ffts[:, :W + 2]]
+                    if lookup:
+                        parts += [static_[:, n_head:], dyn_ffts[:, W + 2:]]
+                    ffts = jnp.concatenate(parts, axis=1)
                 return self._quot_from_ffts(ffts, consts_, x_, zh_, i1_,
                                             ign_, n_sel, lookup)
 
-            from ..utils.aot_cache import cached_jit
-            args = (tuple(group), consts, self.coset_elements,
-                    self.zh_inv_coset, self.inv_n_x_minus_1,
-                    self.inv_n_x_minus_gn, self.coset.pows,
-                    qd.twiddles_fwd, qd.bitrev)
+            args = (tuple(dynamic), static_ffts, consts,
+                    self.coset_elements, self.zh_inv_coset,
+                    self.inv_n_x_minus_1, self.inv_n_x_minus_gn,
+                    self.coset.pows, qd.twiddles_fwd, qd.bitrev)
             f = cached_jit(
                 f"r3a-{spec.name}-m{self.m}-W{W}-lk{int(lookup)}-{lens}"
                 f"-k{consts.shape[1]}", fn, *args)
