@@ -253,7 +253,7 @@ class TestArithExtras:
             cs.truncate(vx, 100)
 
 
-def test_variable_independence():
+def test_variable_independence_turbo():
     """Two satisfying assignments must give identical sigma polynomials
     (reference relation/src/gadgets/mod.rs:24-42)."""
     def build(a, b):
