@@ -145,6 +145,14 @@ def universal_setup_for_testing(curve: CurveSpec, max_degree: int, seed: int = 0
     for _ in range(n):
         pows.append(cur)
         cur = cur * beta % fr.p
+    # native C comb when available: robust at 2^20+ (the device scan
+    # kernel faulted the TPU worker at [L, 2^20+3]) and ~15s at 2^20
+    from ..utils import native as _nv
+    host_pts = _nv.fixed_base_powers(fq.p, g, pows)
+    if host_pts is not None:
+        powers_aff = E.affine_to_device(fq, host_pts)
+        return UniversalSrs(curve=curve, powers_of_g=powers_aff, h=h,
+                            beta_h=beta_h)
     scalars = jnp.asarray(ints_to_limbs(pows, fr.num_limbs))
 
     # host: doubling table of g (bits entries)

@@ -398,6 +398,17 @@ class Prover:
             group += [pk.plookup_pk.range_table_poly, pk.plookup_pk.key_table_poly,
                       pk.plookup_pk.table_dom_sep_poly, pk.plookup_pk.q_dom_sep_poly,
                       po.h_polys[0], po.h_polys[1], po.prod_lookup_poly]
+        if self._fusable and 2 * 4 * spec.num_limbs * self.m * len(group) \
+                > int(os.environ.get(
+                    "MPC_JELLYFISH_TPU_QUOT_HBM_BYTES", 8_000_000_000)):
+            # Monolithic m-domain evaluation would exceed HBM (21 polys
+            # padded to m = 8n, twice over, is ~22GB at n = 2^20).  Chunked
+            # path: the quotient domain splits into size_ratio cosets
+            # g*w_m^j*H of the BASE domain; each chunk is one batched
+            # size-n coset NTT + pointwise evaluation.  w_m-neighbour
+            # shifts (z(w x) etc.) stay inside a chunk as roll-by-1.
+            return self._quotient_chunked(pk, consts, group, n_sel, lookup)
+
         if self._fusable:
             # The selector/sigma (+ lookup table) polynomials are fixed per
             # circuit: their coset FFTs are computed ONCE and cached on the
@@ -484,8 +495,80 @@ class Prover:
                                     self.zh_inv_coset, self.inv_n_x_minus_1,
                                     self.inv_n_x_minus_gn, n_sel, lookup)
 
+    def _quotient_chunked(self, pk, consts, group, n_sel: int, lookup: bool):
+        """Evaluate the quotient on the 8n coset domain one size-n coset at
+        a time (peak HBM ~2 group-sized tensors instead of 2 m-sized)."""
+        spec = self.spec
+        W = self.num_wire_types
+        n = self.n
+        r = self.size_ratio
+        qd = self.quot_domain
+        dom = self.domain
+        lens = "_".join(str(g.shape[1]) for g in group)
+        from ..utils.aot_cache import cached_jit
+
+        # shift scalars g * w_m^j and their n-th powers' Z_H values
+        p = spec.p
+        shifts = [spec.generator * pow(qd.w, j, p) % p for j in range(r)]
+        shift_dev = upload(spec, shifts)                      # [L, r]
+        zh_inv_host = [pow(pow(s, n, p) - 1, -1, p) for s in shifts]
+        zh_inv_dev = upload(spec, zh_inv_host)                # [L, r]
+
+        def fchunk(group_, consts_, shift, zh_s, x_, i1_, ign_, tw, br):
+            # coefficients scaled by powers of the chunk shift = coset NTT
+            pows = F.powers(spec, shift, n)
+            stacked = jnp.stack([
+                jnp.concatenate([g, F.zeros(spec, (n - g.shape[1],))],
+                                axis=1)[:, :n]
+                if g.shape[1] < n else g[:, :n] for g in group_], axis=1)
+            # NB group polys have degree < n + 3; fold the (tiny) tail back
+            # onto the low coefficients: X^{n+t} on the chunk equals
+            # shift^n * w^{nt}... handled exactly below via explicit tail.
+            ffts = N._coset_ntt_jit(dom, stacked, pows, tw, br)
+            return self._quot_from_ffts(ffts, consts_, x_, zh_s, i1_, ign_,
+                                        n_sel, lookup, ratio=1)
+
+        # per-poly tails (degrees n..n+2 from masking) must be folded in:
+        # poly(x) for x in chunk j: sum_{k<n} c_k x^k + sum_{t} c_{n+t} x^{n+t}
+        # and x^{n+t} = (s^n) * x^t on the coset (x^n = s^n w^{nk} = s^n).
+        # So fold: c'_t = c_t + s^n * c_{n+t}  (t < 3), exact per chunk.
+        sn = [pow(s, n, p) for s in shifts]
+        sn_dev = upload(spec, sn)                             # [L, r]
+
+        def fold_tail(g, snj):
+            if g.shape[1] <= n:
+                return g
+            tail = g[:, n:]
+            head = g[:, :n]
+            add = F.mul(spec, tail, snj)
+            return head.at[:, :tail.shape[1]].set(
+                F.add(spec, head[:, :tail.shape[1]], add))
+
+        chunks = []
+        x_full = self.coset_elements           # [L, m], cached
+        i1_full = self.inv_n_x_minus_1
+        ign_full = self.inv_n_x_minus_gn
+        for j in range(r):
+            shift = shift_dev[:, j:j + 1]
+            snj = sn_dev[:, j:j + 1]
+            zh_s = zh_inv_dev[:, j:j + 1]
+            x_j = x_full[:, j::r]
+            i1_j = i1_full[:, j::r]
+            ign_j = ign_full[:, j::r]
+            folded = tuple(fold_tail(g, snj) for g in group)
+            args = (folded, consts, shift, zh_s, x_j, i1_j, ign_j,
+                    dom.twiddles_fwd, dom.bitrev)
+            f = cached_jit(
+                f"r3c-{spec.name}-n{n}-W{W}-lk{int(lookup)}-{lens}"
+                f"-k{consts.shape[1]}", fchunk, *args)
+            chunks.append(f(*args))
+        # reassemble natural m-order: evals[j + r*k] = chunk_j[k]
+        out = jnp.stack(chunks, axis=-1)       # [L, n, r]
+        return out.reshape(spec.num_limbs, self.m)
+
     def _quot_from_ffts(self, ffts, consts, coset_x, zh_inv, inv_nx1,
-                        inv_nxgn, n_sel: int, lookup: bool):
+                        inv_nxgn, n_sel: int, lookup: bool,
+                        ratio: int | None = None):
         """Gate + copy-constraint (+ Plookup) terms from the batched coset
         FFTs; pure function of its tensors (jit-safe for the fused path)."""
         spec = self.spec
@@ -532,7 +615,9 @@ class Prover:
 
         # copy constraints (prover.rs:719-759)
         x = coset_x
-        z_next = jnp.roll(z_fft, -self.size_ratio, axis=1)
+        if ratio is None:
+            ratio = self.size_ratio
+        z_next = jnp.roll(z_fft, -ratio, axis=1)
         term1 = F.mul(spec, alpha, z_fft)
         term2 = F.mul(spec, alpha, z_next)
         for j in range(W):
@@ -565,7 +650,7 @@ class Prover:
             range_fft, key_fft, tds_fft, qds_fft, h1_fft, h2_fft, pl_fft = lk_fft
             q_lookup_fft = sel_fft[-1]
 
-            r = self.size_ratio
+            r = ratio
 
             def nxt(t):
                 return jnp.roll(t, -r, axis=1)

@@ -182,3 +182,24 @@ def pairing_check(curve, g1s, g2s):
     if r is None:
         return None
     return r == T.F12_ONE
+
+
+def fixed_base_powers(p: int, g, scalars):
+    """[s_i * g] as AffinePoints via the C comb (SRS generation), or None."""
+    got = _get_fr_ctx(p)
+    if got is None:
+        return None
+    mod, ctx = got
+    if not hasattr(mod, "fixed_base_powers"):
+        return None
+    from .ec_host import AffinePoint
+    sb = b"".join(_i2b(int(s)) for s in scalars)
+    out = mod.fixed_base_powers(ctx, _i2b(g.x), _i2b(g.y), sb)
+    pts = []
+    for i in range(len(scalars)):
+        o = out[65 * i:65 * (i + 1)]
+        if o[64]:
+            pts.append(AffinePoint.infinity())
+        else:
+            pts.append(AffinePoint(_b2i(o[:32]), _b2i(o[32:64])))
+    return pts

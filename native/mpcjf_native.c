@@ -963,6 +963,89 @@ static PyObject *py_keccak256(PyObject *self, PyObject *args) {
     return PyBytes_FromStringAndSize((const char *)out, 32);
 }
 
+
+/* fixed_base_powers(ctx, gx32, gy32, scalars n*32 raw LE)
+ * -> bytes n*(32+32+1): affine x, y, inf per point (g * s_i each).
+ * Used to generate KZG test SRSes (powers of beta) without the device:
+ * an 8-bit comb table of g then 31 adds per point + one batch inversion. */
+static PyObject *py_fixed_base_powers(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer gxb, gyb, sb;
+    if (!PyArg_ParseTuple(args, "Oy*y*y*", &cap, &gxb, &gyb, &sb))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    if (gxb.len != 32 || gyb.len != 32 || sb.len % 32 != 0) {
+        PyErr_SetString(PyExc_ValueError, "bad buffer sizes");
+        return NULL;
+    }
+    Py_ssize_t n = sb.len / 32;
+    g1 G;
+    fe_from_bytes(c, &G.x, (const uint8_t *)gxb.buf);
+    fe_from_bytes(c, &G.y, (const uint8_t *)gyb.buf);
+    G.z = c->one;
+
+    /* comb table: T[w][d] = (d << 8w) * G for w < 32, d in 1..255 */
+    g1 *table = (g1 *)malloc(sizeof(g1) * 32 * 256);
+    g1 base = G;
+    for (int w = 0; w < 32; w++) {
+        g1_inf(c, &table[w * 256]);
+        table[w * 256 + 1] = base;
+        for (int d = 2; d < 256; d++)
+            g1_add(c, &table[w * 256 + d], &table[w * 256 + d - 1], &base);
+        if (w < 31)
+            g1_add(c, &base, &table[w * 256 + 255], &base);
+    }
+
+    g1 *res = (g1 *)malloc(sizeof(g1) * n);
+    const uint8_t *scal = (const uint8_t *)sb.buf;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        g1 acc;
+        g1_inf(c, &acc);
+        for (int w = 0; w < 32; w++) {
+            uint8_t d = scal[32 * i + w];
+            if (d) g1_add(c, &acc, &acc, &table[w * 256 + d]);
+        }
+        res[i] = acc;
+    }
+    free(table);
+
+    /* batch affine conversion (Montgomery inversion trick) */
+    fe *pref = (fe *)malloc(sizeof(fe) * n);
+    fe run = c->one;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        pref[i] = run;
+        if (!fe_is_zero(&res[i].z)) fe_mul(c, &run, &run, &res[i].z);
+    }
+    fe run_inv;
+    fe_inv(c, &run_inv, &run);
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 65);
+    uint8_t *ob = (uint8_t *)PyBytes_AsString(out);
+    for (Py_ssize_t i = n - 1; i >= 0; i--) {
+        uint8_t *o = ob + 65 * i;
+        if (fe_is_zero(&res[i].z)) {
+            memset(o, 0, 64);
+            o[64] = 1;
+            continue;
+        }
+        fe zi, zi2, ax, ay;
+        fe_mul(c, &zi, &run_inv, &pref[i]);       /* 1 / z_i */
+        fe_mul(c, &run_inv, &run_inv, &res[i].z); /* strip z_i */
+        fe_sqr(c, &zi2, &zi);
+        fe_mul(c, &ax, &res[i].x, &zi2);
+        fe_mul(c, &zi2, &zi2, &zi);
+        fe_mul(c, &ay, &res[i].y, &zi2);
+        fe_to_bytes(c, o, &ax);
+        fe_to_bytes(c, o + 32, &ay);
+        o[64] = 0;
+    }
+    free(pref);
+    free(res);
+    PyBuffer_Release(&gxb);
+    PyBuffer_Release(&gyb);
+    PyBuffer_Release(&sb);
+    return out;
+}
+
 static PyMethodDef methods[] = {
     {"ctx_new", py_ctx_new, METH_VARARGS, "create field context"},
     {"msm", py_msm, METH_VARARGS, "G1 Pippenger MSM"},
@@ -971,6 +1054,7 @@ static PyMethodDef methods[] = {
     {"final_exp", py_final_exp, METH_VARARGS, "final exponentiation"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
     {"keccak256", py_keccak256, METH_VARARGS, "Keccak-256 (eth padding)"},
+    {"fixed_base_powers", py_fixed_base_powers, METH_VARARGS, "g*s_i batch (SRS gen)"},
     {NULL, NULL, 0, NULL},
 };
 
