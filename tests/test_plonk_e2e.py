@@ -99,3 +99,32 @@ def test_extra_transcript_msg(setup):
     snark.verify(vk, cs.public_input(), proof, extra_transcript_init_msg=b"hello")
     with pytest.raises(WrongProof):
         snark.verify(vk, cs.public_input(), proof, extra_transcript_init_msg=b"bye")
+
+
+def test_chunked_quotient_bit_equal(monkeypatch):
+    """The HBM-gated per-coset quotient path must produce bit-identical
+    proofs to the monolithic 8n-domain path."""
+    import os
+    import random
+    from mpc_jellyfish_tpu.pcs import kzg as _kzg
+    spec = BN254.fr
+    rng = random.Random(7)
+    cs = PlonkCircuit(spec)
+    vals = [cs.create_variable(rng.randrange(spec.p)) for _ in range(8)]
+    out = cs.create_public_variable(0)
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = cs.mul(acc, v)
+    cs.witness[out] = cs.witness_of(acc)
+    cs.enforce_equal(acc, out)
+    cs.finalize_for_arithmetization()
+    srs = _kzg.universal_setup_for_testing(BN254, cs.srs_size(), seed=9)
+    s1 = PlonkKzgSnark(BN254)
+    pk1, vk1 = s1.preprocess(srs, cs)
+    p1 = s1.prove(cs, pk1, rng=random.Random(1), mask=True)
+    monkeypatch.setenv("MPC_JELLYFISH_TPU_QUOT_HBM_BYTES", "0")
+    s2 = PlonkKzgSnark(BN254)
+    pk2, vk2 = s2.preprocess(srs, cs)
+    p2 = s2.prove(cs, pk2, rng=random.Random(1), mask=True)
+    assert p1 == p2
+    s2.verify(vk2, cs.public_input(), p2)
