@@ -491,7 +491,13 @@ def _pick_C(n_pad: int) -> int:
     # lanes per job in the scan kernel: C*R = n_pad, C multiple of 128.
     # C = 128 keeps every limb vector in ONE (8, 128) VPU register inside
     # the madd body (wider C spills; see pallas_field layout note) and
-    # compiles ~40% faster than C = 512.
+    # compiles ~40% faster than C = 512.  Env override for tuning sweeps
+    # (the scan is R = n_pad/C sequential steps, so larger C trades
+    # register residency for scan depth).
+    import os
+    env = os.environ.get("MPC_JELLYFISH_TPU_MSM_C", "")
+    if env:
+        return int(env)
     del n_pad
     return 128
 
