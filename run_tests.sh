@@ -36,7 +36,7 @@ export LOGDIR
 
 # longest files first (greedy makespan): the sharded/mesh and MSM-oracle
 # files dominate, so they must start immediately
-ORDER="tests/test_plonk_2e12.py tests/test_sharded.py tests/test_ec_msm.py \
+ORDER="tests/test_plonk_2e12.py tests/test_sharded_prove.py tests/test_sharded.py tests/test_ec_msm.py \
 tests/test_recursion.py tests/test_ultraplonk_e2e.py tests/test_curves_e2e.py \
 tests/test_network_fabric.py tests/test_multiprover.py"
 FILES=$(for f in $ORDER; do [ -f "$f" ] && echo "$f"; done;

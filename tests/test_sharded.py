@@ -74,45 +74,3 @@ def test_distributed_msm(mesh):
         BN254.fq, E.jac_to_affine(BN254.fq, tuple(t[:, None] for t in res)))[0]
     want = H.ec_msm(BN254.fq.p, pts, ss)
     assert got == want
-
-
-def test_sharded_prover_bit_equal(mesh):
-    """Full TurboPlonk prove with the mesh-sharded backend must produce a
-    proof IDENTICAL to the single-chip prover (VERDICT: sharded kernels
-    integrated into the prover; field math is exact so the backends agree
-    bit-for-bit)."""
-    import random as _random
-    from mpc_jellyfish_tpu.relation.circuit import PlonkCircuit
-    from mpc_jellyfish_tpu.plonk.snark import PlonkKzgSnark
-    from mpc_jellyfish_tpu.parallel.backend import ShardedBackend
-    from mpc_jellyfish_tpu.pcs import kzg as _kzg
-
-    rng2 = _random.Random(5)
-    cs = PlonkCircuit(spec)
-    vals = [cs.create_variable(rng2.randrange(spec.p)) for _ in range(8)]
-    out = cs.create_public_variable(0)
-    acc = vals[0]
-    for v in vals[1:]:
-        acc = cs.mul(acc, v)
-    for _ in range(200):
-        acc = cs.add(acc, vals[0])
-    cs.witness[out] = cs.witness_of(acc)
-    cs.enforce_equal(acc, out)
-    cs.finalize_for_arithmetization()
-    assert cs.eval_domain_size() >= 256
-
-    srs = _kzg.universal_setup_for_testing(BN254, cs.srs_size(), seed=13)
-    single = PlonkKzgSnark(BN254)
-    pk, vk = single.preprocess(srs, cs)
-    proof1 = single.prove(cs, pk, rng=_random.Random(0), mask=True)
-
-    sharded = PlonkKzgSnark(BN254, backend=ShardedBackend(mesh))
-    proof2 = sharded.prove(cs, pk, rng=_random.Random(0), mask=True)
-
-    assert proof1.wires_poly_comms == proof2.wires_poly_comms
-    assert proof1.prod_perm_poly_comm == proof2.prod_perm_poly_comm
-    assert proof1.split_quot_poly_comms == proof2.split_quot_poly_comms
-    assert proof1.opening_proof == proof2.opening_proof
-    assert proof1.shifted_opening_proof == proof2.shifted_opening_proof
-    assert proof1.poly_evals == proof2.poly_evals
-    assert sharded.verify(vk, cs.public_input(), proof2)
