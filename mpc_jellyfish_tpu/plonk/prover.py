@@ -497,70 +497,73 @@ class Prover:
 
     def _quotient_chunked(self, pk, consts, group, n_sel: int, lookup: bool):
         """Evaluate the quotient on the 8n coset domain one size-n coset at
-        a time (peak HBM ~2 group-sized tensors instead of 2 m-sized)."""
+        a time.  Peak HBM is ~3 group-sized tensors (the monolithic path
+        needs ~2 m-sized = 16x more and OOMs at n = 2^20).
+
+        The group polys are stacked ONCE into a [L, G, n] heads tensor plus
+        a [L, G, 3] tails tensor (degrees n..n+2 from masking); each chunk
+        folds the tail exactly via x^{n+t} = shift^n * x^t on its coset and
+        runs one batched size-n coset NTT + the pointwise evaluation.
+        w_m-neighbour shifts (z(w x) etc.) stay inside a chunk (roll 1)."""
         spec = self.spec
         W = self.num_wire_types
         n = self.n
         r = self.size_ratio
         qd = self.quot_domain
         dom = self.domain
-        lens = "_".join(str(g.shape[1]) for g in group)
+        G = len(group)
         from ..utils.aot_cache import cached_jit
 
-        # shift scalars g * w_m^j and their n-th powers' Z_H values
         p = spec.p
         shifts = [spec.generator * pow(qd.w, j, p) % p for j in range(r)]
         shift_dev = upload(spec, shifts)                      # [L, r]
         zh_inv_host = [pow(pow(s, n, p) - 1, -1, p) for s in shifts]
         zh_inv_dev = upload(spec, zh_inv_host)                # [L, r]
+        sn_dev = upload(spec, [pow(s, n, p) for s in shifts]) # [L, r]
 
-        def fchunk(group_, consts_, shift, zh_s, x_, i1_, ign_, tw, br):
-            # coefficients scaled by powers of the chunk shift = coset NTT
-            pows = F.powers(spec, shift, n)
-            stacked = jnp.stack([
-                jnp.concatenate([g, F.zeros(spec, (n - g.shape[1],))],
-                                axis=1)[:, :n]
+        lens = "_".join(str(g.shape[1]) for g in group)
+
+        def fstack(group_):
+            heads = jnp.stack([
+                jnp.concatenate([g[:, :n], F.zeros(spec, (n - g.shape[1],))],
+                                axis=1)
                 if g.shape[1] < n else g[:, :n] for g in group_], axis=1)
-            # NB group polys have degree < n + 3; fold the (tiny) tail back
-            # onto the low coefficients: X^{n+t} on the chunk equals
-            # shift^n * w^{nt}... handled exactly below via explicit tail.
-            ffts = N._coset_ntt_jit(dom, stacked, pows, tw, br)
+            tails = jnp.stack([
+                jnp.concatenate([g[:, n:], F.zeros(spec,
+                                                   (3 - max(g.shape[1] - n,
+                                                            0),))], axis=1)
+                if g.shape[1] < n + 3 else g[:, n:n + 3]
+                for g in group_], axis=1)
+            return heads, tails
+
+        sargs = (tuple(group),)
+        fst = cached_jit(f"r3cs-{spec.name}-n{n}-G{G}-{lens}", fstack, *sargs)
+        heads, tails = fst(*sargs)
+
+        def fchunk(heads_, tails_, consts_, shift, snj, zh_s, x_, i1_, ign_,
+                   tw, br):
+            folded = heads_.at[:, :, :3].set(
+                F.add(spec, heads_[:, :, :3],
+                      F.mul(spec, tails_, snj[:, :, None])))
+            pows = F.powers(spec, shift, n)
+            ffts = N._coset_ntt_jit(dom, folded, pows, tw, br)
             return self._quot_from_ffts(ffts, consts_, x_, zh_s, i1_, ign_,
                                         n_sel, lookup, ratio=1)
-
-        # per-poly tails (degrees n..n+2 from masking) must be folded in:
-        # poly(x) for x in chunk j: sum_{k<n} c_k x^k + sum_{t} c_{n+t} x^{n+t}
-        # and x^{n+t} = (s^n) * x^t on the coset (x^n = s^n w^{nk} = s^n).
-        # So fold: c'_t = c_t + s^n * c_{n+t}  (t < 3), exact per chunk.
-        sn = [pow(s, n, p) for s in shifts]
-        sn_dev = upload(spec, sn)                             # [L, r]
-
-        def fold_tail(g, snj):
-            if g.shape[1] <= n:
-                return g
-            tail = g[:, n:]
-            head = g[:, :n]
-            add = F.mul(spec, tail, snj)
-            return head.at[:, :tail.shape[1]].set(
-                F.add(spec, head[:, :tail.shape[1]], add))
 
         chunks = []
         x_full = self.coset_elements           # [L, m], cached
         i1_full = self.inv_n_x_minus_1
         ign_full = self.inv_n_x_minus_gn
+        f = None
         for j in range(r):
-            shift = shift_dev[:, j:j + 1]
-            snj = sn_dev[:, j:j + 1]
-            zh_s = zh_inv_dev[:, j:j + 1]
-            x_j = x_full[:, j::r]
-            i1_j = i1_full[:, j::r]
-            ign_j = ign_full[:, j::r]
-            folded = tuple(fold_tail(g, snj) for g in group)
-            args = (folded, consts, shift, zh_s, x_j, i1_j, ign_j,
+            args = (heads, tails, consts, shift_dev[:, j:j + 1],
+                    sn_dev[:, j:j + 1], zh_inv_dev[:, j:j + 1],
+                    x_full[:, j::r], i1_full[:, j::r], ign_full[:, j::r],
                     dom.twiddles_fwd, dom.bitrev)
-            f = cached_jit(
-                f"r3c-{spec.name}-n{n}-W{W}-lk{int(lookup)}-{lens}"
-                f"-k{consts.shape[1]}", fchunk, *args)
+            if f is None:
+                f = cached_jit(
+                    f"r3c-{spec.name}-n{n}-W{W}-G{G}-lk{int(lookup)}"
+                    f"-k{consts.shape[1]}", fchunk, *args)
             chunks.append(f(*args))
         # reassemble natural m-order: evals[j + r*k] = chunk_j[k]
         out = jnp.stack(chunks, axis=-1)       # [L, n, r]
