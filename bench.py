@@ -102,6 +102,61 @@ def bench_size(curve, log_n: int, reps: int, srs=None):
     return n, min(times), tv, srs
 
 
+def bench_collaborative(curve, log_n: int, reps: int):
+    """Single vs collaborative (2-party mock-MPC) prover latency
+    (reference plonk/benches/collaborative_proof.rs)."""
+    import random as _r
+    from mpc_jellyfish_tpu.multiprover.fabric import MockFabric
+    from mpc_jellyfish_tpu.multiprover.circuit import MpcPlonkCircuit
+    from mpc_jellyfish_tpu.multiprover.snark import MultiproverPlonkKzgSnark
+    from mpc_jellyfish_tpu.plonk.snark import PlonkKzgSnark
+    from mpc_jellyfish_tpu.pcs import kzg
+
+    spec = curve.fr
+    rng = _r.Random(7)
+
+    def build(cs, mk):
+        vals = [mk(rng.randrange(spec.p)) for _ in range(8)]
+        acc = vals[0]
+        while cs.num_gates() < (1 << log_n) - 8:
+            acc = cs.mul(acc, vals[cs.num_gates() % 8])
+        return acc
+
+    plain = __import__("mpc_jellyfish_tpu.relation.circuit",
+                       fromlist=["PlonkCircuit"]).PlonkCircuit(spec)
+    acc = build(plain, plain.create_variable)
+    out = plain.create_public_variable(plain.witness_of(acc))
+    plain.enforce_equal(acc, out)
+    plain.finalize_for_arithmetization()
+
+    fab = MockFabric(spec, seed=5)
+    mpc = MpcPlonkCircuit(fab)
+    rng = _r.Random(7)
+    acc_m = build(mpc, lambda v: mpc.create_variable(fab.share_scalars([v])))
+    out_m = mpc.create_public_variable(
+        fab.share_scalars([plain.witness_of(out)]))
+    mpc.enforce_equal(acc_m, out_m)
+    mpc.finalize_for_arithmetization()
+
+    snark = PlonkKzgSnark(curve)
+    srs = kzg.universal_setup_for_testing(curve, plain.srs_size(), seed=21)
+    pk, vk = snark.preprocess(srs, plain)
+
+    t0 = time.time()
+    proof = snark.prove(plain, pk, rng=_r.Random(0), mask=True)
+    single = time.time() - t0
+    snark.verify(vk, plain.public_input(), proof)
+
+    mpc_snark = MultiproverPlonkKzgSnark(curve)
+    t0 = time.time()
+    cproof = mpc_snark.prove(fab, mpc, pk)
+    collab = time.time() - t0
+    snark.verify(vk, plain.public_input(), cproof)
+    log(f"single prove: {single:.2f}s, collaborative (2-party mock): "
+        f"{collab:.2f}s (x{collab / single:.1f}); both verified")
+    return plain.eval_domain_size(), single, collab
+
+
 def main():
     log_n = int(os.environ.get("BENCH_LOG_N", "14"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -114,6 +169,16 @@ def main():
     curve = {"bn254": curves.BN254, "bls12_381": curves.BLS12_381}[curve_name]
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()} "
         f"({time.time()-t0:.1f}s import)")
+
+    if os.environ.get("BENCH_COLLAB", "") == "1":
+        n, single, collab = bench_collaborative(curve, log_n, reps)
+        print(json.dumps({
+            "metric": f"collaborative_prove_overhead_{curve_name}_n{n}",
+            "value": round(collab / single, 3),
+            "unit": "x_single_prover",
+            "vs_baseline": round(single / collab, 4),
+        }))
+        return
 
     if sweep:
         # prove/verify sweep (reference plonk/benches/bench.rs:22-60 style);
