@@ -209,8 +209,16 @@ def ntt_stage_pallas(spec, x: jnp.ndarray, w_dense: jnp.ndarray) -> jnp.ndarray:
                          memory_space=pltpu.VMEM),
         ),
     )(xf, xf, wf)
-    out = jnp.stack([s.reshape(L, B, h), d.reshape(L, B, h)], axis=-1)
-    out = out.reshape(L, B, n)
+    # interleave(s, d) via interior-dilated pads: a trailing stack axis of
+    # size 2 forces an 8x-padded {.., 2} layout (12.5GB buffer at n=2^20
+    # batched - OOMs compile); two dilated pads + bitwise-or keep every
+    # intermediate in the clean [L, B, n] tiling.
+    s3 = s.reshape(L, B, h)
+    d3 = d.reshape(L, B, h)
+    zero = jnp.uint32(0)
+    cfg_s = [(0, 0, 0), (0, 0, 0), (0, 1, 1)]   # -> positions 0, 2, 4, ...
+    cfg_d = [(0, 0, 0), (0, 0, 0), (1, 0, 1)]   # -> positions 1, 3, 5, ...
+    out = jax.lax.pad(s3, zero, cfg_s) | jax.lax.pad(d3, zero, cfg_d)
     return out if batched else out[:, 0]
 
 
