@@ -24,9 +24,38 @@ def log(msg):
 
 
 def build_circuit(spec, log_n):
-    """~2^log_n-gate arithmetic circuit (mul/add/lc mix)."""
+    """~2^log_n-gate arithmetic circuit (mul/add/lc mix).
+
+    BENCH_PLONK=ultra builds an UltraPlonk circuit instead: the same
+    arithmetic mix plus lookup-backed range gates, exercising the Plookup
+    rounds 1.5/2.5/4.5 (reference bench.rs UltraPlonk arm)."""
     from mpc_jellyfish_tpu.relation.circuit import PlonkCircuit
     rng = random.Random(7)
+    ultra = os.environ.get("BENCH_PLONK", "turbo") == "ultra"
+    if ultra:
+        cs = PlonkCircuit(spec, ultra_plonk=True, range_bit_len=16)
+        target = (1 << log_n) - 8
+        vals = [cs.create_variable(rng.randrange(spec.p)) for _ in range(16)]
+        out = cs.create_public_variable(0)
+        i = 0
+        while cs.num_gates() < target * 3 // 4:
+            a = vals[i % 16]
+            b = vals[(i + 7) % 16]
+            if i % 4 == 0:
+                r = cs.create_variable(rng.randrange(1 << 32))
+                cs.enforce_in_range(r, 32)
+            elif i % 4 == 1:
+                vals[i % 16] = cs.mul(a, b)
+            elif i % 4 == 2:
+                vals[i % 16] = cs.add(a, b)
+            else:
+                vals[i % 16] = cs.lc(
+                    [a, b, vals[(i + 3) % 16], vals[(i + 5) % 16]],
+                    [2, 3, 4, 5])
+            i += 1
+        cs.witness[out] = cs.witness_of(vals[0])
+        cs.enforce_equal(vals[0], out)
+        return cs
     cs = PlonkCircuit(spec)
     target = (1 << log_n) - 8
     vals = [cs.create_variable(rng.randrange(spec.p)) for _ in range(16)]
@@ -198,7 +227,7 @@ def main():
 
     baseline = BASELINES[curve_name]
     print(json.dumps({
-        "metric": f"turboplonk_prove_ns_per_constraint_{curve_name}_n{n}",
+        "metric": f"{os.environ.get('BENCH_PLONK', 'turbo')}plonk_prove_ns_per_constraint_{curve_name}_n{n}",
         "value": round(ns_per_constraint, 1),
         "unit": "ns/constraint",
         "vs_baseline": round(baseline / ns_per_constraint, 4),

@@ -16,8 +16,12 @@ spec = BN254.fr
 
 @pytest.fixture(scope="module")
 def mesh():
-    devs = np.array(jax.devices()[:8])
-    assert devs.size == 8, "tests need 8 virtual devices (see conftest)"
+    # 4 of the 8 virtual devices: the bit-equality oracle is mesh-size
+    # independent and the XLA:CPU shard_map compile time scales with the
+    # device count (8-dev variant ran ~10 min; this ~halves it).  The
+    # 8-device path stays covered by test_sharded.py + dryrun_multichip.
+    devs = np.array(jax.devices()[:4])
+    assert devs.size == 4, "tests need >= 4 virtual devices (see conftest)"
     return Mesh(devs, ("shard",))
 
 
