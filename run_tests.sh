@@ -40,7 +40,7 @@ ORDER="tests/test_plonk_2e12.py tests/test_sharded_prove.py tests/test_sharded.p
 tests/test_recursion.py tests/test_ultraplonk_e2e.py tests/test_curves_e2e.py \
 tests/test_network_fabric.py tests/test_multiprover.py"
 FILES=$(for f in $ORDER; do [ -f "$f" ] && echo "$f"; done;
-        ls tests/test_*.py | grep -vF "$ORDER")
+        ls tests/test_*.py | grep -vxF -f <(printf '%s\n' $ORDER))
 echo "$FILES" | xargs -P "$NPROC" -I{} bash -c 'run_one "$@"' _ {} "$@"
 fail=0
 for log in "$LOGDIR"/*.log; do
