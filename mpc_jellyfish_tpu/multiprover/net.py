@@ -101,9 +101,10 @@ class NetworkFabric(MockFabric):
         self.party_id = party_id
         self.transport = transport
         self._alpha_local = self._alpha_shares[:, party_id:party_id + 1]
-        # MAC-check RLC coefficients come from a SEPARATE common-seed rng so
-        # the dealer stream stays draw-for-draw identical to MockFabric
-        self._mac_rng = random.Random(mac_seed)
+        del mac_seed  # legacy arg: RLC coefficients now come from a joint
+        # commit-reveal coin flip AFTER the opened values are fixed (SPDZ
+        # MAC-check shape) — a fixed common seed would let a malicious peer
+        # precompute forgeries that cancel in the RLC.
         self._defer = False
         self._deferred = []
 
@@ -171,17 +172,50 @@ class NetworkFabric(MockFabric):
         if items:
             self._run_mac_check(items)
 
+    def _joint_coin(self, items) -> random.Random:
+        """Commit-reveal coin flip bound to the opened values.
+
+        Each party samples fresh randomness, exchanges SHA-256 commitments,
+        then reveals; the RLC seed is H(s0 || s1 || opened values).  Sampling
+        AFTER the values are fixed (and verifying the peer's commitment)
+        makes the batched check sound against a malicious peer — the peer
+        cannot choose its contribution to cancel a forged opening."""
+        import hashlib
+        import numpy as np
+        s_local = os.urandom(32)
+        com = hashlib.sha256(bytes([self.party_id]) + s_local).digest()
+        com_remote = self._exchange_raw(com)
+        s_remote = self._exchange_raw(s_local)
+        expect = hashlib.sha256(bytes([1 - self.party_id]) + s_remote)
+        if expect.digest() != com_remote:
+            raise ValueError("MAC-check coin flip: commitment mismatch")
+        h = hashlib.sha256()
+        h.update(s_local if self.party_id == 0 else s_remote)
+        h.update(s_remote if self.party_id == 0 else s_local)
+        for value, _ in items:
+            h.update(np.asarray(value).tobytes())
+        return random.Random(int.from_bytes(h.digest(), "big"))
+
+    def _exchange_raw(self, payload: bytes) -> bytes:
+        if self.party_id == 0:
+            self.transport.send(payload)
+            return self.transport.recv()
+        other = self.transport.recv()
+        self.transport.send(payload)
+        return other
+
     def _run_mac_check(self, items):
         """sum_i r_i * (mac_i - alpha * v_i) == 0, without revealing alpha:
         each party contributes d_p = sum_i r_i * (mac_p,i - alpha_p * v_i)."""
         spec = self.spec
+        rng = self._joint_coin(items)
         acc = None
         for value, mac_local in items:
             v = value.reshape(spec.num_limbs, -1)
             m = mac_local.reshape(spec.num_limbs, -1)
             k = v.shape[1]
             r = spec.to_device(
-                [self._mac_rng.randrange(spec.p) for _ in range(k)])
+                [rng.randrange(spec.p) for _ in range(k)])
             d = F.sub(spec, m, F.mul(spec, v, self._alpha_local))
             t = F.sum_reduce(spec, F.mul(spec, d, r), axis=1)
             acc = t if acc is None else F.add(spec, acc, t)

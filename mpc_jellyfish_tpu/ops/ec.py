@@ -180,7 +180,6 @@ def jac_madd(spec: FieldSpec, P, Qa):
 
 
 @functools.partial(jax.jit, static_argnums=0)
-@functools.partial(jax.jit, static_argnums=0)
 def jac_to_affine(spec: FieldSpec, P):
     """Jacobian -> affine: (X/Z^2, Y/Z^3, inf_mask).  Batched inverse.
 

@@ -627,7 +627,7 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
     fn = cached_jit(
         key,
         lambda pts, sc: _msm_batch_jit(spec, pts, sc, c, C, use_pallas),
-        points, scalars)
+        points, scalars, deps=("msm",))
     return fn(points, scalars)
 
 

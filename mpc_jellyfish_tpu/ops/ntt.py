@@ -260,13 +260,94 @@ def _cached(name, domain, fn, *args):
     leaves = jax.tree_util.tree_leaves(args)
     shapes = "-".join("x".join(map(str, a.shape)) for a in leaves)
     key = f"{name}-{domain.spec.name}-n{domain.n}-{shapes}"
-    return cached_jit(key, fn, *args)(*args)
+    return cached_jit(key, fn, *args, deps=("ntt",))(*args)
+
+
+def _fused_plan(domain: Domain, inverse: bool, coset=None):
+    if not F._use_pallas():
+        return None
+    from .pallas_ntt import FusedNtt
+    return FusedNtt.get(domain, inverse, coset)
+
+
+# -- composable kernel getters ---------------------------------------------
+# Each returns (tag, fn, args) where fn(x, *args) computes the transform and
+# is safe to call inside an OUTER jit: every table rides in `args` as an
+# operand (callers must thread them through their own jit boundary — baking
+# them as closed-over constants is what OOM'd 2^20 in round 2).  `tag` is a
+# short string for cache keys (the fused and per-stage paths have different
+# signatures).
+
+def intt_kernel(domain: Domain):
+    plan = _fused_plan(domain, inverse=True)
+    if plan is not None:
+        from .pallas_ntt import _apply
+        fn = (lambda x, stws, posts, perm: _apply(
+            domain.spec, plan.factors, x, stws, posts, None, None, perm))
+        return "f", fn, (plan.stws, plan.posts, plan.perm)
+    return ("s", lambda x, tw, br: _intt_jit(domain, x, tw, br),
+            (domain.twiddles_inv, domain.bitrev))
+
+
+def ntt_kernel(domain: Domain):
+    plan = _fused_plan(domain, inverse=False)
+    if plan is not None:
+        from .pallas_ntt import _apply
+        fn = (lambda x, stws, posts, perm: _apply(
+            domain.spec, plan.factors, x, stws, posts, None, None, perm))
+        return "f", fn, (plan.stws, plan.posts, plan.perm)
+    return ("s", lambda x, tw, br: _ntt_jit(domain, x, tw, br),
+            (domain.twiddles_fwd, domain.bitrev))
+
+
+def coset_ntt_kernel(domain: Domain, table: "CosetTable"):
+    plan = _fused_plan(domain, inverse=False, coset=table)
+    if plan is not None:
+        from .pallas_ntt import _apply
+        fn = (lambda x, stws, posts, pre0, perm: _apply(
+            domain.spec, plan.factors, x, stws, posts, pre0, None, perm))
+        return "f", fn, (plan.stws, plan.posts, plan.pre0, plan.perm)
+    return ("s", lambda x, pw, tw, br: _coset_ntt_jit(domain, x, pw, tw, br),
+            (table.pows, domain.twiddles_fwd, domain.bitrev))
+
+
+def coset_ntt_dyn_kernel(domain: Domain):
+    """Coset NTT whose shift-power table is computed by the CALLER in-trace
+    (chunked quotient: a different coset per chunk).  fn(x, pows, *args)."""
+    plan = _fused_plan(domain, inverse=False)
+    if plan is not None:
+        from .pallas_ntt import _apply
+        f0 = plan.factors[0]
+
+        def fn(x, pows, stws, posts, perm):
+            pre0 = pows.reshape(domain.spec.num_limbs, f0, domain.n // f0)
+            return _apply(domain.spec, plan.factors, x, stws, posts, pre0,
+                          None, perm)
+        return "f", fn, (plan.stws, plan.posts, plan.perm)
+    return ("s",
+            lambda x, pw, tw, br: _coset_ntt_jit(domain, x, pw, tw, br),
+            (domain.twiddles_fwd, domain.bitrev))
+
+
+def coset_intt_kernel(domain: Domain, table: "CosetTable"):
+    plan = _fused_plan(domain, inverse=True, coset=table)
+    if plan is not None:
+        from .pallas_ntt import _apply
+        fn = (lambda x, stws, posts, postlast, perm: _apply(
+            domain.spec, plan.factors, x, stws, posts, None, postlast, perm))
+        return "f", fn, (plan.stws, plan.posts, plan.postlast, plan.perm)
+    return ("s",
+            lambda x, pw, tw, br: _coset_intt_jit(domain, x, pw, tw, br),
+            (table.pows_inv, domain.twiddles_inv, domain.bitrev))
 
 
 def ntt(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT: coefficients -> evaluations on the domain (natural order)."""
     if domain.n == 1:
         return coeffs
+    plan = _fused_plan(domain, inverse=False)
+    if plan is not None:
+        return plan(coeffs)
     return _cached("ntt", domain,
                    lambda c, tw, br: _ntt_jit(domain, c, tw, br),
                    coeffs, domain.twiddles_fwd, domain.bitrev)
@@ -276,6 +357,9 @@ def intt(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT: evaluations -> coefficients."""
     if domain.n == 1:
         return evals
+    plan = _fused_plan(domain, inverse=True)
+    if plan is not None:
+        return plan(evals)
     return _cached("intt", domain,
                    lambda e, tw, br: _intt_jit(domain, e, tw, br),
                    evals, domain.twiddles_inv, domain.bitrev)
@@ -302,6 +386,9 @@ def _coset_intt_jit(domain: Domain, evals, pows_inv, twiddles, bitrev):
 
 def coset_ntt(domain: Domain, coeffs: jnp.ndarray, table: CosetTable) -> jnp.ndarray:
     """Evaluate poly on the coset g*H: NTT(coeff_j * g^j), natural order."""
+    plan = _fused_plan(domain, inverse=False, coset=table)
+    if plan is not None:
+        return plan(coeffs)
     return _cached("coset_ntt", domain,
                    lambda c, pw, tw, br: _coset_ntt_jit(domain, c, pw, tw, br),
                    coeffs, table.pows, domain.twiddles_fwd, domain.bitrev)
@@ -309,6 +396,9 @@ def coset_ntt(domain: Domain, coeffs: jnp.ndarray, table: CosetTable) -> jnp.nda
 
 def coset_intt(domain: Domain, evals: jnp.ndarray, table: CosetTable) -> jnp.ndarray:
     """Interpolate from evaluations on coset g*H back to coefficients."""
+    plan = _fused_plan(domain, inverse=True, coset=table)
+    if plan is not None:
+        return plan(evals)
     return _cached("coset_intt", domain,
                    lambda e, pw, tw, br: _coset_intt_jit(domain, e, pw, tw, br),
                    evals, table.pows_inv, domain.twiddles_inv, domain.bitrev)

@@ -210,10 +210,10 @@ class Prover:
         md = upload(spec, [rng.randrange(spec.p) for _ in range(W * b)]
                     if mask else [0] * (W * b)).reshape(spec.num_limbs, W, b)
         nck = ck.powers_of_g[0].shape[1]
-        domain = self.domain
+        tag, intt_fn, intt_args = N.intt_kernel(self.domain)
 
-        def fn(wv, md_, tw, br):
-            batched = N._intt_jit(domain, wv, tw, br)
+        def fn(wv, md_, *targs):
+            batched = intt_fn(wv, *targs)
             padded = jnp.concatenate(
                 [batched, F.zeros(spec, (W, out_len - n))], axis=2)
             if mask:
@@ -223,11 +223,11 @@ class Prover:
 
         from ..utils.aot_cache import cached_jit
         t0 = time.time()
-        f = cached_jit(f"r1-{spec.name}-n{n}-W{W}-msk{int(mask)}-nck{nck}",
-                       fn, wire_values, md, domain.twiddles_inv,
-                       domain.bitrev)
+        f = cached_jit(f"r1{tag}-{spec.name}-n{n}-W{W}-msk{int(mask)}"
+                       f"-nck{nck}", fn, wire_values, md, *intt_args,
+                   deps=("ntt", "prover"))
         t0 = _trb("r1 get-exe", t0)
-        padded, sc = f(wire_values, md, domain.twiddles_inv, domain.bitrev)
+        padded, sc = f(wire_values, md, *intt_args)
         t0 = _trb("r1 intt+mask+prep", t0, sc)
         comms = kzg.commit_batch_stacked(ck, sc)
         _trb("r1 commit", t0)
@@ -274,9 +274,9 @@ class Prover:
         sgv = jnp.stack(list(sigma_evals), axis=1)
         out_len = n + 3
         nck = ck.powers_of_g[0].shape[1]
-        domain = self.domain
+        tag, intt_fn, intt_args = N.intt_kernel(self.domain)
 
-        def fn(wv_, idv_, sgv_, bg_, tw, br):
+        def fn(wv_, idv_, sgv_, bg_, *targs):
             beta_d = bg_[:, :1]
             gamma_d = bg_[:, 1:2]
             md = bg_[:, 2:5].reshape(spec.num_limbs, 1, 3)
@@ -292,7 +292,7 @@ class Prover:
             prod = F.cumprod(spec, ratio, axis=1)
             z_evals = jnp.concatenate([F.ones(spec, (1,)), prod[:, :n - 1]],
                                       axis=1)
-            coeffs = N._intt_jit(domain, z_evals, tw, br)
+            coeffs = intt_fn(z_evals, *targs)
             padded = jnp.concatenate(
                 [coeffs, F.zeros(spec, (out_len - n,))], axis=1)
             if mask:
@@ -302,10 +302,10 @@ class Prover:
             return padded, self._msm_scalars(spec, padded[:, None], nck)
 
         from ..utils.aot_cache import cached_jit
-        f = cached_jit(f"r2-{spec.name}-n{n}-W{W}-msk{int(mask)}-nck{nck}",
-                       fn, wv, idv, sgv, bg, domain.twiddles_inv,
-                       domain.bitrev)
-        coeffs, sc = f(wv, idv, sgv, bg, domain.twiddles_inv, domain.bitrev)
+        f = cached_jit(f"r2{tag}-{spec.name}-n{n}-W{W}-msk{int(mask)}"
+                       f"-nck{nck}", fn, wv, idv, sgv, bg, *intt_args,
+                       deps=("ntt", "prover"))
+        coeffs, sc = f(wv, idv, sgv, bg, *intt_args)
         comm = kzg.commit_batch_stacked(ck, sc)[0]
         return comm, coeffs
 
@@ -435,23 +435,24 @@ class Prover:
                 dynamic = group
                 n_head = 0
 
+            ctag, cfft_fn, cfft_args = N.coset_ntt_kernel(qd, self.coset)
+
             static_ffts = getattr(pk, "_coset_fft_cache", None)
             if static_ffts is None and static_group:
                 slens = "_".join(str(g.shape[1]) for g in static_group)
 
-                def fs(group_, pows, tw, br):
+                def fs(group_, *targs):
                     stacked = jnp.stack([
                         jnp.concatenate(
                             [g, F.zeros(spec, (self.m - g.shape[1],))],
                             axis=1)
                         if g.shape[1] < self.m else g
                         for g in group_], axis=1)
-                    return N._coset_ntt_jit(qd, stacked, pows, tw, br)
+                    return cfft_fn(stacked, *targs)
 
-                sargs = (tuple(static_group), self.coset.pows,
-                         qd.twiddles_fwd, qd.bitrev)
-                f = cached_jit(f"r3s-{spec.name}-m{self.m}-{slens}", fs,
-                               *sargs)
+                sargs = (tuple(static_group),) + cfft_args
+                f = cached_jit(f"r3s{ctag}-{spec.name}-m{self.m}-{slens}", fs,
+                               *sargs, deps=("ntt", "prover"))
                 static_ffts = f(*sargs)
                 pk._coset_fft_cache = static_ffts
             if static_ffts is None:
@@ -459,12 +460,12 @@ class Prover:
 
             lens = "_".join(str(g.shape[1]) for g in dynamic)
 
-            def fn(dyn_, static_, consts_, x_, zh_, i1_, ign_, pows, tw, br):
+            def fn(dyn_, static_, consts_, x_, zh_, i1_, ign_, *targs):
                 stacked = jnp.stack([
                     jnp.concatenate(
                         [g, F.zeros(spec, (self.m - g.shape[1],))], axis=1)
                     if g.shape[1] < self.m else g for g in dyn_], axis=1)
-                dyn_ffts = N._coset_ntt_jit(qd, stacked, pows, tw, br)
+                dyn_ffts = cfft_fn(stacked, *targs)
                 if n_head == 0:
                     ffts = dyn_ffts       # cache disabled: original order
                 else:
@@ -477,11 +478,10 @@ class Prover:
 
             args = (tuple(dynamic), static_ffts, consts,
                     self.coset_elements, self.zh_inv_coset,
-                    self.inv_n_x_minus_1, self.inv_n_x_minus_gn,
-                    self.coset.pows, qd.twiddles_fwd, qd.bitrev)
+                    self.inv_n_x_minus_1, self.inv_n_x_minus_gn) + cfft_args
             f = cached_jit(
-                f"r3a-{spec.name}-m{self.m}-W{W}-lk{int(lookup)}-{lens}"
-                f"-k{consts.shape[1]}", fn, *args)
+                f"r3a{ctag}-{spec.name}-m{self.m}-W{W}-lk{int(lookup)}-{lens}"
+                f"-k{consts.shape[1]}", fn, *args, deps=("ntt", "prover"))
             t0 = time.time()
             out = f(*args)
             _trb("r3a exe", t0, out)
@@ -537,16 +537,19 @@ class Prover:
             return heads, tails
 
         sargs = (tuple(group),)
-        fst = cached_jit(f"r3cs-{spec.name}-n{n}-G{G}-{lens}", fstack, *sargs)
+        fst = cached_jit(f"r3cs-{spec.name}-n{n}-G{G}-{lens}", fstack, *sargs,
+                         deps=("ntt", "prover"))
         heads, tails = fst(*sargs)
 
+        ctag, cfft_fn, cfft_args = N.coset_ntt_dyn_kernel(dom)
+
         def fchunk(heads_, tails_, consts_, shift, snj, zh_s, x_, i1_, ign_,
-                   tw, br):
+                   *targs):
             folded = heads_.at[:, :, :3].set(
                 F.add(spec, heads_[:, :, :3],
                       F.mul(spec, tails_, snj[:, :, None])))
             pows = F.powers(spec, shift, n)
-            ffts = N._coset_ntt_jit(dom, folded, pows, tw, br)
+            ffts = cfft_fn(folded, pows, *targs)
             return self._quot_from_ffts(ffts, consts_, x_, zh_s, i1_, ign_,
                                         n_sel, lookup, ratio=1)
 
@@ -559,11 +562,12 @@ class Prover:
             args = (heads, tails, consts, shift_dev[:, j:j + 1],
                     sn_dev[:, j:j + 1], zh_inv_dev[:, j:j + 1],
                     x_full[:, j::r], i1_full[:, j::r], ign_full[:, j::r],
-                    dom.twiddles_fwd, dom.bitrev)
+                    ) + cfft_args
             if f is None:
                 f = cached_jit(
-                    f"r3c-{spec.name}-n{n}-W{W}-G{G}-lk{int(lookup)}"
-                    f"-k{consts.shape[1]}", fchunk, *args)
+                    f"r3c{ctag}-{spec.name}-n{n}-W{W}-G{G}-lk{int(lookup)}"
+                    f"-k{consts.shape[1]}", fchunk, *args,
+                    deps=("ntt", "prover"))
             chunks.append(f(*args))
         # reassemble natural m-order: evals[j + r*k] = chunk_j[k]
         out = jnp.stack(chunks, axis=-1)       # [L, n, r]
@@ -756,9 +760,10 @@ class Prover:
                     if mask else [0] * (W - 1))
         nck = ck.powers_of_g[0].shape[1]
         qd = self.quot_domain
+        tag, cintt_fn, cintt_args = N.coset_intt_kernel(qd, self.coset)
 
-        def fn(qe, bd_, pows_inv, tw, br):
-            coeffs = N._coset_intt_jit(qd, qe, pows_inv, tw, br)
+        def fn(qe, bd_, *targs):
+            coeffs = cintt_fn(qe, *targs)
             expected_len = W * (n + 1) + 3
             chunk = n + 2
             polys = []
@@ -784,10 +789,10 @@ class Prover:
             return st, self._msm_scalars(spec, st, nck)
 
         from ..utils.aot_cache import cached_jit
-        args = (quot_evals_sum, bd, self.coset.pows_inv, qd.twiddles_inv,
-                qd.bitrev)
-        f = cached_jit(f"r3b-{spec.name}-m{self.m}-n{n}-W{W}"
-                       f"-msk{int(mask)}-nck{nck}", fn, *args)
+        args = (quot_evals_sum, bd) + cintt_args
+        f = cached_jit(f"r3b{tag}-{spec.name}-m{self.m}-n{n}-W{W}"
+                       f"-msk{int(mask)}-nck{nck}", fn, *args,
+                       deps=("ntt", "prover"))
         t0 = time.time()
         st, sc = f(*args)
         t0 = _trb("r3b exe", t0, sc)

@@ -7,8 +7,12 @@ caches the *serialized StableHLO export* on disk so warm processes skip
 tracing and lowering entirely (measured: 65s -> 14s first-call on a v5e,
 <1ms steady).
 
-Keying: user key + platform + jax version + a salt over the compute-kernel
-source files (so code edits invalidate stale artifacts).
+Keying: user key + platform + jax version + a recursive hash of the traced
+function's bytecode (so editing a round body invalidates exactly that
+round) + a salt over the kernel source files the entry DEPENDS on (callers
+pass `deps=`; editing ops/msm.py no longer invalidates every NTT artifact
+and vice versa — round-2's global salt made any ops/ edit a full 15-min
+recompile).
 """
 
 from __future__ import annotations
@@ -16,22 +20,87 @@ from __future__ import annotations
 import functools
 import hashlib
 import os
+import types
 
 import jax
 
 _MEMO: dict = {}
 
+# dependency groups -> package-relative source files.  "core" is implied
+# for every entry (all kernels build on the limb field arithmetic).
+_DEP_FILES = {
+    "core": ("ops/field.py", "ops/pallas_field.py", "utils/bigint.py"),
+    "ntt": ("ops/ntt.py", "ops/pallas_ntt.py"),
+    "msm": ("ops/msm.py", "ops/ec.py"),
+    "poly": ("ops/poly.py",),
+    "kzg": ("pcs/kzg.py",),
+    "prover": ("plonk/prover.py",),
+    "parallel": ("parallel/backend.py", "parallel/sharded.py",
+                 "ops/group_ntt.py"),
+}
 
-@functools.lru_cache(maxsize=1)
-def _code_salt() -> str:
-    import mpc_jellyfish_tpu.ops as ops_pkg
-    root = os.path.dirname(ops_pkg.__file__)
+
+@functools.lru_cache(maxsize=None)
+def _files_salt(files: tuple) -> str:
+    import mpc_jellyfish_tpu as pkg
+    root = os.path.dirname(pkg.__file__)
     h = hashlib.sha256()
-    for fn in sorted(os.listdir(root)):
-        if fn.endswith(".py"):
-            with open(os.path.join(root, fn), "rb") as f:
+    for rel in files:
+        path = os.path.join(root, rel)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
                 h.update(f.read())
     h.update(jax.__version__.encode())
+    return h.hexdigest()[:16]
+
+
+@functools.lru_cache(maxsize=1)
+def _all_ops_files() -> tuple:
+    import mpc_jellyfish_tpu.ops as ops_pkg
+    root = os.path.dirname(ops_pkg.__file__)
+    return tuple(
+        "ops/" + fn for fn in sorted(os.listdir(root)) if fn.endswith(".py"))
+
+
+def _dep_salt(deps) -> str:
+    if deps is None:
+        files = _all_ops_files()          # legacy: whole ops package
+    else:
+        files = []
+        for d in ("core",) + tuple(deps):
+            files.extend(_DEP_FILES[d])
+        files = tuple(dict.fromkeys(files))
+    return _files_salt(files)
+
+
+def _code_hash(fn) -> str:
+    """Recursive hash of fn's bytecode + nested code objects + closure
+    functions.  Catches edits to the traced body itself (the file-level
+    dep salt catches edits to the kernels it calls)."""
+    h = hashlib.sha256()
+    seen = set()
+
+    def walk(code):
+        if id(code) in seen:
+            return
+        seen.add(id(code))
+        h.update(code.co_code)
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                walk(c)
+
+    target = fn
+    while isinstance(target, functools.partial):
+        target = target.func
+    if hasattr(target, "__code__"):
+        walk(target.__code__)
+        for cell in (target.__closure__ or ()):
+            try:
+                v = cell.cell_contents
+            except ValueError:
+                continue
+            if isinstance(v, types.FunctionType):
+                walk(v.__code__)
     return h.hexdigest()[:16]
 
 
@@ -44,15 +113,17 @@ def _cache_dir() -> str:
     return d
 
 
-def cached_jit(key: str, fn, *example_args):
+def cached_jit(key: str, fn, *example_args, deps=None):
     """Return a callable computing jax.jit(fn)(*args) for the example shapes.
 
     On a cache hit the function is restored from the serialized export (no
     tracing/lowering); on a miss it is traced, exported and persisted.
     `fn` must be a pure function of its positional array arguments.
+    `deps` names the kernel-source dependency groups (see _DEP_FILES);
+    None means "all of ops/" (safe default).
     """
     platform = jax.default_backend()
-    full_key = f"{key}-{platform}-{_code_salt()}"
+    full_key = f"{key}-{platform}-{_dep_salt(deps)}-{_code_hash(fn)}"
     if full_key in _MEMO:
         return _MEMO[full_key]
     path = os.path.join(_cache_dir(), hashlib.sha256(

@@ -42,6 +42,10 @@ def g1_to_bytes(curve: CurveSpec, pt: AffinePoint) -> bytes:
 
 
 def g1_from_bytes(curve: CurveSpec, b: bytes) -> AffinePoint:
+    """Deserialize + validate (mirrors arkworks CanonicalDeserialize with
+    Validate::Yes): rejects non-canonical x >= p and, on curves with
+    cofactor != 1 (e.g. BLS12-381 G1), points outside the prime-order
+    subgroup — an attacker-crafted blob must not decode to a rogue point."""
     p = curve.fq.p
     buf = bytearray(b)
     flags = buf[-1] & 0xC0
@@ -49,13 +53,33 @@ def g1_from_bytes(curve: CurveSpec, b: bytes) -> AffinePoint:
     if flags & 0x40:
         return AffinePoint.infinity()
     x = int.from_bytes(bytes(buf), "little")
+    if x >= p:
+        raise ValueError("non-canonical x coordinate (>= field modulus)")
     y2 = (x * x * x + curve.b) % p
     y = pow(y2, (p + 1) // 4, p) if p % 4 == 3 else _sqrt_mod(y2, p)
     if (y * y - y2) % p != 0:
         raise ValueError("not on curve")
     if (y > (p - 1) // 2) != bool(flags & 0x80):
         y = (-y) % p
-    return AffinePoint(x, y)
+    pt = AffinePoint(x, y)
+    if _g1_cofactor(curve) != 1:
+        from .ec_host import ec_mul
+        if not ec_mul(p, pt, curve.fr.p).inf:
+            raise ValueError("point not in the prime-order subgroup")
+    return pt
+
+
+def _g1_cofactor(curve: CurveSpec) -> int:
+    """1 if |E(Fq)| == r (prime-order G1, e.g. BN254); else the cofactor
+    is nontrivial and subgroup membership needs an explicit check.  The
+    Hasse bound makes |E| == r decidable from q and r alone when the
+    cofactor could only be 1."""
+    import math
+    q, r = curve.fq.p, curve.fr.p
+    # cofactor == 1 iff |E| = r is forced by the Hasse bound: any multiple
+    # 2r would exceed q + 1 + 2*sqrt(q).  r ~ q => cofactor 1 (BN254);
+    # r << q => cofactor > 1 (BLS12-381/377, BW6-761).
+    return 1 if 2 * r > q + 1 + 2 * math.isqrt(q) + 2 else 0
 
 
 def _sqrt_mod(a: int, p: int) -> int:

@@ -690,8 +690,17 @@ static PyObject *py_msm(PyObject *self, PyObject *args) {
         return NULL;
     fctx *c = get_ctx(cap);
     Py_ssize_t n = ib.len;
+    if (xb.len != 32 * n || yb.len != 32 * n || sb.len != 32 * n) {
+        PyErr_SetString(PyExc_ValueError,
+                        "msm: xs/ys/scalars must be 32 bytes per point");
+        return NULL;
+    }
     fe *xs = (fe *)malloc(sizeof(fe) * n);
     fe *ys = (fe *)malloc(sizeof(fe) * n);
+    if (!xs || !ys) {
+        free(xs); free(ys);
+        return PyErr_NoMemory();
+    }
     for (Py_ssize_t i = 0; i < n; i++) {
         fe_from_bytes(c, &xs[i], (const uint8_t *)xb.buf + 32 * i);
         fe_from_bytes(c, &ys[i], (const uint8_t *)yb.buf + 32 * i);
@@ -825,8 +834,14 @@ static PyObject *py_final_exp(PyObject *self, PyObject *args) {
     f12_mul(c, &f, &t2, &t);
     /* hard: shared-squaring multi-exp over frobenius powers */
     int k = (int)(db.len / 32);
+    if (k < 1) {
+        PyErr_SetString(PyExc_ValueError,
+                        "final_exp: need at least one 32-byte digit");
+        return NULL;
+    }
     const uint8_t *digits = (const uint8_t *)db.buf;
     f12 *bases = (f12 *)malloc(sizeof(f12) * k);
+    if (!bases) return PyErr_NoMemory();
     bases[0] = f;
     for (int i = 1; i < k; i++) f12_frobenius(c, &bases[i], &f, i);
     /* max bit length */
