@@ -38,20 +38,22 @@ TABLE_VAL_2_WIRE_ID = 4
 def compute_coset_representatives(p: int, num_wire_types: int, coset_size: int):
     """Constants k_0=1, k_1, ... with pairwise-disjoint cosets k_i * H.
 
-    Same contract as `relation/src/constants.rs:30-80`; we use a
-    deterministic small-integer search instead of seeded rejection sampling
-    (any set of disjoint-coset representatives yields an equivalent,
-    self-consistent proof system).
+    Bit-exact mirror of `relation/src/constants.rs:30-81`: k_0 = 1 and
+    each subsequent k_i is drawn from arkworks `F::rand` over
+    `ChaChaRng::from_seed([0u8; 32])`, rejecting draws whose coset k^N
+    collides with an earlier one — so the k vectors (and hence every
+    VerifyingKey) match the reference's for each (field, wire count).
     """
+    from ..utils.chacha import ChaCha20Rng, ark_fp_rand
+    rng = ChaCha20Rng(b"\x00" * 32)
     ks = [1]
     pows = [1]  # k^N mod p
-    cand = 2
     while len(ks) < num_wire_types:
+        cand = ark_fp_rand(rng, p)
         pk = pow(cand, coset_size, p)
         if all(pk != q for q in pows):
             ks.append(cand)
             pows.append(pk)
-        cand += 1
     return ks
 
 
