@@ -51,6 +51,11 @@ class CurveSpec:
     g2_gen: tuple       # ((x0, x1), (y0, y1))
     fq2_nonresidue: int  # u^2 = nonresidue  (-1 for both curves here)
     x_param: int        # curve family parameter (for pairing loop)
+    # embedding degree: 12 (BN/BLS12: G2 over Fq2, Fq12 pairing) or 6
+    # (BW6: G2 is a sextic twist over Fq itself — stored with zero
+    # imaginary parts so the generic G2 group ops apply — and the pairing
+    # routes to pairing_bw6.py's Fq6 tower)
+    k_embed: int = 12
 
     def __hash__(self):
         return hash(self.name)
@@ -151,4 +156,46 @@ BLS12_377 = CurveSpec(
 from .utils import fq_tower as _T  # noqa: E402
 _T.set_beta(BLS12_377_FQ_MOD, -5)
 
-CURVES = {"bn254": BN254, "bls12_381": BLS12_381, "bls12_377": BLS12_377}
+# ---------------------------------------------------------------------------
+# BW6-761 (reference bench curve, bench.md:17,25; upstream dep ark-bw6-761):
+# the one-layer-composition outer curve of BLS12-377 — its scalar field IS
+# BLS12-377's base field, so BLS12-377 proofs can be verified in a BW6-761
+# circuit natively.  E: y^2 = x^3 - 1 over a 761-bit prime; k = 6; G2 is the
+# sextic M-twist y^2 = x^3 + 4 over Fq itself (twist scalar zeta = -4).
+# Every constant below is derived from the shared seed x = 0x8508c00000000001
+# and VERIFIED in-environment by scripts/derive_bw6_761.py: seed-polynomial
+# cross-check against the pinned BLS12-377 moduli, 64-round Miller-Rabin on
+# p, CM order derivation via Cornacchia (4p = t^2 + 3y^2) with random-point
+# order validation, and exact-order-r generator checks.
+# ---------------------------------------------------------------------------
+
+BW6_761_FQ_MOD = 6891450384315732539396789682275657542479668912536150109513790160209623422243491736087683183289411687640864567753786613451161759120554247759349511699125301598951605099378508850372543631423596795951899700429969112842764913119068299
+BW6_761_FR_MOD = BLS12_377_FQ_MOD   # outer-curve scalar field == inner Fq
+
+BW6_761_FQ = FieldSpec(name="bw6_761_fq", p=BW6_761_FQ_MOD,
+                       num_limbs=48, generator=2)
+BW6_761_FR = BLS12_377_FQ           # same field object: kernels/caches shared
+
+BW6_761 = CurveSpec(
+    name="bw6_761",
+    fq=BW6_761_FQ,
+    fr=BW6_761_FR,
+    b=BW6_761_FQ_MOD - 1,           # y^2 = x^3 - 1
+    g1_gen=(
+        5121082781502305659180673370797932802982723165543122975335209418297923345190975559367024470794567213188867624617939698818627134048004915564891369096213721202693630090148097888923493708182442885908076346607300083583163982163789167,
+        3936891438836912583780051937508657570812555345221986954460153541952284123191322673907692687918062549220672207508016306900511821136915723707181225276750353973961376292016478674329987421847947883311993206004548631860683957877121757,
+    ),
+    # sextic M-twist over Fq: y^2 = x^3 + 4 (zeta = b2/b = -4); coords are
+    # embedded as Fq2 values with zero imaginary parts
+    b2=(4, 0),
+    g2_gen=(
+        (4299495046121976197967899669570453663523609133273326781652351086315825538613647196868186765217397067654540962955975840176693419657193486845273767814170238104346390446211356851381676719718477415944688400098442139983341339355564981, 0),
+        (5390068907621955088169558704058566111636841949933812064258391788701969884935470780815806205108266591280868872340793447961301446566465351736303970166703756567269434202182284388197563290670801062112376259336491499915806321277334517, 0),
+    ),
+    fq2_nonresidue=BW6_761_FQ_MOD - 1,  # unused for k=6 (zero-imag coords)
+    x_param=0x8508C00000000001,
+    k_embed=6,
+)
+
+CURVES = {"bn254": BN254, "bls12_381": BLS12_381, "bls12_377": BLS12_377,
+          "bw6_761": BW6_761}

@@ -321,7 +321,11 @@ def pairing_tate(curve: CurveSpec, P: AffinePoint, Q: G2Point):
 
 
 def pairing(curve: CurveSpec, P: AffinePoint, Q: G2Point):
-    """Reduced optimal ate pairing e(P, Q) in Fq12 (arkworks-compatible)."""
+    """Reduced pairing e(P, Q) (optimal ate in Fq12 for k=12 curves,
+    Tate in Fq6 for k=6 / BW6)."""
+    if getattr(curve, "k_embed", 12) == 6:
+        from . import pairing_bw6 as B6
+        return B6.pairing(curve, P, B6.g2_xy(Q))
     if P.inf or Q.inf:
         return T.F12_ONE
     return final_exponentiation(curve, _ate_miller_full(curve, P, Q))
@@ -334,6 +338,9 @@ def multi_pairing(curve: CurveSpec, g1s: list, g2s: list):
     the C host runtime (native/mpcjf_native.c) when the base field fits 4x64
     limbs; the Python tower below is the exact fallback/oracle.
     """
+    if getattr(curve, "k_embed", 12) == 6:
+        from . import pairing_bw6 as B6
+        return B6.multi_pairing(curve, g1s, [B6.g2_xy(q) for q in g2s])
     from .utils import native as _nv
     res = _nv.multi_pairing(curve, g1s, g2s)
     if res is not None:
@@ -349,4 +356,7 @@ def multi_pairing(curve: CurveSpec, g1s: list, g2s: list):
 
 def pairing_check(curve: CurveSpec, g1s: list, g2s: list) -> bool:
     """prod_i e(P_i, Q_i) == 1."""
+    if getattr(curve, "k_embed", 12) == 6:
+        from . import pairing_bw6 as B6
+        return multi_pairing(curve, g1s, g2s) == B6.ONE6
     return multi_pairing(curve, g1s, g2s) == T.F12_ONE

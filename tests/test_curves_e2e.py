@@ -7,13 +7,13 @@ import random
 
 import pytest
 
-from mpc_jellyfish_tpu.curves import BLS12_377, BLS12_381, BN254
+from mpc_jellyfish_tpu.curves import BLS12_377, BLS12_381, BN254, BW6_761
 from mpc_jellyfish_tpu.relation.circuit import PlonkCircuit
 from mpc_jellyfish_tpu.plonk.snark import PlonkKzgSnark, WrongProof
 from mpc_jellyfish_tpu.pcs import kzg
 
 
-@pytest.mark.parametrize("curve", [BN254, BLS12_381, BLS12_377],
+@pytest.mark.parametrize("curve", [BN254, BLS12_381, BLS12_377, BW6_761],
                          ids=lambda c: c.name)
 def test_turboplonk_e2e(curve):
     p = curve.fr.p
