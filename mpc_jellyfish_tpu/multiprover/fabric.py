@@ -136,8 +136,11 @@ class MockFabric:
     # -- openings ----------------------------------------------------------
     def open(self, a: Shared, check: bool = True) -> jnp.ndarray:
         """Open to a public [L, *batch] tensor (party-axis sum) + MAC check."""
-        spec = self.spec
         self.n_openings += 1
+        return self._open_one(a, check)
+
+    def _open_one(self, a: Shared, check: bool) -> jnp.ndarray:
+        spec = self.spec
         value = F.sum_reduce(spec, a.share, axis=1)
         if check:
             # SPDZ check: sum_p mac_p - alpha * value == 0
@@ -153,6 +156,27 @@ class MockFabric:
 
     def open_to_ints(self, a: Shared, check: bool = True) -> list:
         return self.spec.from_device(self.open(a, check))
+
+    def open_batch(self, shareds: list, check: bool = True) -> list:
+        """Open MANY shared tensors in ONE communication round.
+
+        Mirror of ark-mpc `open_authenticated_batch` / the executor's op
+        batching (SURVEY §2.7): the prover knows its round structure, so
+        every round's openings travel together.  The mock counts one
+        opening round; `NetworkFabric` overrides this with a single
+        transport exchange of the whole tuple."""
+        if not shareds:
+            return []
+        self.n_openings += 1
+        return [self._open_one(a, check) for a in shareds]
+
+    def open_point_batch(self, fq, jac_locals: list) -> list:
+        """Open MANY EC point shares in one round (batched
+        multiprover_kzg.rs commitment resolution)."""
+        if not jac_locals:
+            return []
+        self.n_openings += 1
+        return list(jac_locals)
 
     # -- multiplication (Beaver) -------------------------------------------
     def _beaver_triples(self, batch_shape) -> tuple:
@@ -173,18 +197,33 @@ class MockFabric:
     def mul(self, x: Shared, y: Shared) -> Shared:
         """Beaver multiplication: z = c + d*b + e*a + d*e,
         d = open(x - a), e = open(y - b)."""
+        return self.mul_batch([(x, y)])[0]
+
+    def mul_batch(self, pairs: list) -> list:
+        """MANY independent Beaver products in ONE communication round: all
+        d_i, e_i maskings travel in a single batched opening (the ark-mpc
+        executor batches exactly these; SURVEY §2.7)."""
         spec = self.spec
-        shape = x.batch_shape
-        a, b, c = self._beaver_triples(shape)
-        a = Shared(a.share.reshape(x.share.shape), a.mac.reshape(x.share.shape))
-        b = Shared(b.share.reshape(x.share.shape), b.mac.reshape(x.share.shape))
-        c = Shared(c.share.reshape(x.share.shape), c.mac.reshape(x.share.shape))
-        d = self.open(self.sub(x, a), check=False)
-        e = self.open(self.sub(y, b), check=False)
-        z = self.add(c, self.mul_public(b, d))
-        z = self.add(z, self.mul_public(a, e))
-        de = F.mul(spec, d, e)
-        return self.add_public(z, de)
+        masked = []
+        triples = []
+        for x, y in pairs:
+            a, b, c = self._beaver_triples(x.batch_shape)
+            a = Shared(a.share.reshape(x.share.shape),
+                       a.mac.reshape(x.share.shape))
+            b = Shared(b.share.reshape(x.share.shape),
+                       b.mac.reshape(x.share.shape))
+            c = Shared(c.share.reshape(x.share.shape),
+                       c.mac.reshape(x.share.shape))
+            triples.append((a, b, c))
+            masked.append(self.sub(x, a))
+            masked.append(self.sub(y, b))
+        opened = self.open_batch(masked, check=False)
+        out = []
+        for (a, b, c), d, e in zip(triples, opened[0::2], opened[1::2]):
+            z = self.add(c, self.mul_public(b, d))
+            z = self.add(z, self.mul_public(a, e))
+            out.append(self.add_public(z, F.mul(spec, d, e)))
+        return out
 
     def inv(self, x: Shared) -> Shared:
         """Masked inversion: r shared random, w = open(x*r), x^-1 = r * w^-1."""

@@ -142,24 +142,39 @@ class NetworkFabric(MockFabric):
         return jax.tree_util.tree_map(jnp.asarray, other)
 
     def open(self, a: Shared, check: bool = True) -> jnp.ndarray:
+        return self.open_batch([a], check)[0]
+
+    def open_batch(self, shareds: list, check: bool = True) -> list:
+        """Open MANY shares in ONE transport exchange (the wire payload is
+        the tuple of local sums) — ark-mpc-style round batching."""
         spec = self.spec
+        if not shareds:
+            return []
         self.n_openings += 1
-        local = F.sum_reduce(spec, a.share, axis=1)
-        remote = self._exchange(local)
-        value = F.add(spec, local, remote)
+        locals_ = tuple(F.sum_reduce(spec, a.share, axis=1) for a in shareds)
+        remotes = self._exchange(locals_)
+        values = [F.add(spec, lo, re) for lo, re in zip(locals_, remotes)]
         if check:
-            mac_local = F.sum_reduce(spec, a.mac, axis=1)
+            items = [(v, F.sum_reduce(spec, a.mac, axis=1))
+                     for v, a in zip(values, shareds)]
             if self._defer:
-                self._deferred.append((value, mac_local))
+                self._deferred.extend(items)
             else:
-                self._run_mac_check([(value, mac_local)])
-        return value
+                self._run_mac_check(items)
+        return values
 
     def open_point(self, fq, jac_local):
         """Open an EC point: exchange Jacobian limb tensors and add."""
+        return self.open_point_batch(fq, [jac_local])[0]
+
+    def open_point_batch(self, fq, jac_locals: list) -> list:
+        """Open MANY EC point shares in one transport exchange."""
+        if not jac_locals:
+            return []
         self.n_openings += 1
-        remote = self._exchange(tuple(jac_local))
-        return E.jac_add(fq, tuple(jac_local), tuple(remote))
+        remotes = self._exchange(tuple(tuple(j) for j in jac_locals))
+        return [E.jac_add(fq, tuple(lo), tuple(re))
+                for lo, re in zip(jac_locals, remotes)]
 
     # -- batched / deferred MAC checks ---------------------------------------
     def begin_deferred_checks(self):

@@ -30,9 +30,8 @@ from .fabric import MockFabric, Shared, N_PARTIES
 GATE_WIDTH = 4
 
 
-def commit_shared(fabric, ck, sh: Shared):
-    """Authenticated MSM: per-party MSM over share scalars, point shares
-    opened into one commitment (multiprover_kzg.rs:126-142)."""
+def _local_msm(fabric, ck, sh: Shared):
+    """This party's MSM accumulator over its share scalars (Jacobian)."""
     spec = fabric.spec
     fq = ck.curve.fq
     n = sh.share.shape[-1]
@@ -42,9 +41,24 @@ def commit_shared(fabric, ck, sh: Shared):
         scalars = F.from_mont(spec, sh.share[:, party])
         pt = M.msm(fq, bases, scalars)
         acc = pt if acc is None else E.jac_add(fq, acc, pt)
-    opened = fabric.open_point(fq, acc)
-    return E.affine_from_device(
-        fq, E.jac_to_affine(fq, tuple(t[:, None] for t in opened)))[0]
+    return acc
+
+
+def commit_shared_batch(fabric, ck, shs: list) -> list:
+    """Authenticated MSMs for a ROUND of polynomials: per-party local MSMs,
+    all point shares opened in ONE communication round
+    (multiprover_kzg.rs:126-142 + ark-mpc executor batching)."""
+    fq = ck.curve.fq
+    accs = [_local_msm(fabric, ck, sh) for sh in shs]
+    opened = fabric.open_point_batch(fq, accs)
+    return [E.affine_from_device(
+        fq, E.jac_to_affine(fq, tuple(t[:, None] for t in o)))[0]
+        for o in opened]
+
+
+def commit_shared(fabric, ck, sh: Shared):
+    """Single authenticated MSM (one-element batch)."""
+    return commit_shared_batch(fabric, ck, [sh])[0]
 
 
 class MpcProver:
@@ -106,7 +120,7 @@ class MpcProver:
     def wire_polys_round(self, ck, wire_shares, mask: bool):
         """Round 1: shared iNTT + shared masking + authenticated commits."""
         out_len = self.n + 3
-        polys, comms = [], []
+        polys = []
         for w in wire_shares:
             coeffs = self.intt_shared(w)
             if mask:
@@ -114,7 +128,7 @@ class MpcProver:
             else:
                 coeffs = self.pad_shared(coeffs, out_len)
             polys.append(coeffs)
-            comms.append(self.commit_shared(ck, coeffs))
+        comms = commit_shared_batch(self.fabric, ck, polys)  # ONE round
         return comms, polys
 
     def grand_product_round(self, ck, wire_shares, id_evals, sigma_evals,
@@ -131,8 +145,10 @@ class MpcProver:
             t = fab.add_public(w, gamma_d)
             a = fab.add_public(t, F.mul(spec, beta_d, idp))
             b = fab.add_public(t, F.mul(spec, beta_d, sg))
-            num = a if num is None else fab.mul(num, a)     # Beaver
-            den = b if den is None else fab.mul(den, b)
+            if num is None:
+                num, den = a, b
+            else:                                           # one Beaver round
+                num, den = fab.mul_batch([(num, a), (den, b)])
         ratio = fab.mul(num, fab.inv(den))                  # masked inversion
         prod = fab.cumprod(ratio)
         one = fab.one_authenticated()
@@ -183,18 +199,22 @@ class MpcProver:
         t_circ = fab.mul_public(w_fft[0], q_lc[0])
         for j in range(1, 4):
             t_circ = fab.add(t_circ, fab.mul_public(w_fft[j], q_lc[j]))
-        w01 = fab.mul(w_fft[0], w_fft[1])                   # Beaver
-        w23 = fab.mul(w_fft[2], w_fft[3])
+        # level 1: w0*w1, w2*w3, wj^2 (x4) — ONE Beaver round
+        lvl1 = fab.mul_batch([(w_fft[0], w_fft[1]), (w_fft[2], w_fft[3])]
+                             + [(w_fft[j], w_fft[j]) for j in range(4)])
+        w01, w23, w2s = lvl1[0], lvl1[1], lvl1[2:]
         t_circ = fab.add(t_circ, fab.mul_public(w01, q_mul[0]))
         t_circ = fab.add(t_circ, fab.mul_public(w23, q_mul[1]))
-        w0123 = fab.mul(w01, w23)
-        prod_w = fab.mul(w0123, w_fft[4])
+        # level 2: (w0w1)(w2w3), wj^4 — ONE round
+        lvl2 = fab.mul_batch([(w01, w23)] + [(w2, w2) for w2 in w2s])
+        w0123, w4s = lvl2[0], lvl2[1:]
+        # level 3: prod_w, wj^5 — ONE round
+        lvl3 = fab.mul_batch([(w0123, w_fft[4])]
+                             + [(w4, w_fft[j]) for j, w4 in enumerate(w4s)])
+        prod_w, w5s = lvl3[0], lvl3[1:]
         t_circ = fab.add(t_circ, fab.mul_public(prod_w, q_ecc))
         for j in range(4):
-            wj2 = fab.mul(w_fft[j], w_fft[j])
-            wj4 = fab.mul(wj2, wj2)
-            wj5 = fab.mul(wj4, w_fft[j])
-            t_circ = fab.add(t_circ, fab.mul_public(wj5, q_hash[j]))
+            t_circ = fab.add(t_circ, fab.mul_public(w5s[j], q_hash[j]))
         t_circ = fab.sub(t_circ, fab.mul_public(w_fft[4], q_o))
         t_circ = fab.add_public(t_circ, F.add(spec, q_c, pi_fft))
 
@@ -209,8 +229,7 @@ class MpcProver:
                 spec, gamma, F.mul(spec, F.mul(spec, beta, ks[j]), x)))
             bj = fab.add_public(w_fft[j], F.add(
                 spec, gamma, F.mul(spec, beta, sigma_fft[j])))
-            term1 = fab.mul(term1, aj)                      # Beaver
-            term2 = fab.mul(term2, bj)
+            term1, term2 = fab.mul_batch([(term1, aj), (term2, bj)])
         t_perm_1 = fab.sub(term1, term2)
 
         one = F.ones(spec, (1,))
@@ -259,7 +278,7 @@ class MpcProver:
                     F.sub(spec, lo.share[:, :, 0:1], last.share)),
                 lo.mac.at[:, :, 0:1].set(
                     F.sub(spec, lo.mac[:, :, 0:1], last.mac)))
-        comms = [self.commit_shared(ck, c) for c in polys]
+        comms = commit_shared_batch(self.fabric, ck, polys)  # ONE round
         return comms, polys
 
     def evaluations_round(self, pk, challenges: Challenges, wire_polys, z_poly):
@@ -270,13 +289,14 @@ class MpcProver:
         pts = upload(spec, [challenges.zeta,
                             challenges.zeta * self.base.domain.w % p])
         zeta, zeta_w = pts[:, 0], pts[:, 1]
-        wires_evals = [
-            fab.open_to_ints(self.eval_shared(wp, zeta))[0]
-            for wp in wire_polys]
+        opened = fab.open_batch(
+            [self.eval_shared(wp, zeta) for wp in wire_polys]
+            + [self.eval_shared(z_poly, zeta_w)])          # ONE round
+        wires_evals = [spec.from_device(v)[0] for v in opened[:-1]]
         sigma_evals = [
             spec.from_device(P.eval_at(spec, s, zeta).reshape(spec.num_limbs, 1))[0]
             for s in pk.sigmas[:self.num_wire_types - 1]]
-        perm_next = fab.open_to_ints(self.eval_shared(z_poly, zeta_w))[0]
+        perm_next = spec.from_device(opened[-1])[0]
         return ProofEvaluations(wires_evals, sigma_evals, perm_next)
 
     def opening_round(self, ck, pk, challenges: Challenges, wire_polys, z_poly,
@@ -371,6 +391,5 @@ class MpcProver:
         q2 = fab.map_local(
             lambda t: P.divide_by_linear(spec, t, pts[:, 1])[0],
             self.pad_shared(z_poly, n3))
-        opening = self.commit_shared(ck, q1)
-        shifted = self.commit_shared(ck, q2)
+        opening, shifted = commit_shared_batch(self.fabric, ck, [q1, q2])
         return opening, shifted

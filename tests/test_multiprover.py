@@ -108,7 +108,18 @@ def setup():
 def test_collaborative_proof_verifies(setup):
     plain, mpc, fab, snark, pk, vk = setup
     mpc_snark = MultiproverPlonkKzgSnark(curve)
+    n_open0 = fab.n_openings
     proof = mpc_snark.prove(fab, mpc, pk, mask=True)
+    # n_openings counts COMMUNICATION ROUNDS (each may carry many values):
+    # round-level batching (ark-mpc-executor style) keeps it
+    # O(rounds + W + log n) — the grand product's Beaver chain contributes
+    # W muls + a masked inversion + log2(n) cumprod levels, everything else
+    # is one batched opening per prover round.
+    import math
+    budget = 16 + 2 * mpc.num_wire_types + 2 * int(
+        math.log2(plain.eval_domain_size()))
+    assert fab.n_openings - n_open0 <= budget, \
+        f"too many opening rounds: {fab.n_openings - n_open0} > {budget}"
     snark.verify(vk, mpc.public_input(), proof)
     # wrong public input rejected
     bad = list(mpc.public_input())

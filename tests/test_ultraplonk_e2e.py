@@ -96,3 +96,23 @@ def test_ultra_tampered_lookup_eval_rejected(setup):
         proof.plookup_proof.poly_evals.h_1_eval + 1) % curve.fr.p
     with pytest.raises(WrongProof):
         snark.verify(vk, cs.public_input(), proof)
+
+
+def test_ultra_chunked_quotient_bit_equal(monkeypatch):
+    """UltraPlonk: the HBM-gated per-coset quotient path (lookup polys in
+    the chunk stream) must produce bit-identical proofs to the monolithic
+    8n-domain path.  (The Turbo twin lives in test_plonk_e2e.py; the Ultra
+    path is the harder one: h1/h2, lookup tables and the lookup grand
+    product all ride the chunked coset NTT.)"""
+    cs = gen_ultra_circuit(3, 5)
+    cs.finalize_for_arithmetization()
+    srs = kzg.universal_setup_for_testing(curve, cs.srs_size(), seed=13)
+    s1 = PlonkKzgSnark(curve)
+    pk1, vk1 = s1.preprocess(srs, cs)
+    p1 = s1.prove(cs, pk1, rng=random.Random(2), mask=True)
+    monkeypatch.setenv("MPC_JELLYFISH_TPU_QUOT_HBM_BYTES", "0")
+    s2 = PlonkKzgSnark(curve)
+    pk2, vk2 = s2.preprocess(srs, cs)
+    p2 = s2.prove(cs, pk2, rng=random.Random(2), mask=True)
+    assert p1 == p2
+    s2.verify(vk2, cs.public_input(), p2)
