@@ -77,8 +77,18 @@ def build_circuit(spec, log_n):
     return cs
 
 
-# reference bench.md:14-17 (24-thread 5900X), ns/constraint
-BASELINES = {"bn254": 23069.0, "bls12_381": 29591.0}
+# reference bench.md:14-25 (24-thread 5900X), ns/constraint
+BASELINES = {
+    ("turbo", "bn254"): 23069.0,
+    ("turbo", "bls12_381"): 29591.0,
+    ("turbo", "bw6_761"): 120446.0,
+    ("ultra", "bn254"): 33701.0,
+    ("ultra", "bls12_381"): 41747.0,
+    ("ultra", "bw6_761"): 162476.0,
+}
+# reference bench.md:15-16 single / 1000-proof batch verify (ms)
+VERIFY_BASELINES = {"bn254": (1.459, 6.540), "bls12_381": (2.083, 7.445),
+                    "bw6_761": (10.885, 19.615)}
 
 
 def bench_size(curve, log_n: int, reps: int, srs=None):
@@ -186,6 +196,56 @@ def bench_collaborative(curve, log_n: int, reps: int):
     return plain.eval_domain_size(), single, collab
 
 
+def bench_batch_verify(curve, log_n: int, k: int):
+    """Single vs k-proof batch verification (reference bench.md:15-16:
+    1.459 ms single / 6.540 ms for 1000 proofs on BN254)."""
+    import random as _r
+    from mpc_jellyfish_tpu.plonk.snark import PlonkKzgSnark
+    from mpc_jellyfish_tpu.pcs import kzg
+
+    cs = build_circuit(curve.fr, log_n)
+    cs.finalize_for_arithmetization()
+    snark = PlonkKzgSnark(curve)
+    srs = kzg.universal_setup_for_testing(curve, cs.srs_size(), seed=3)
+    pk, vk = snark.preprocess(srs, cs)
+    proof = snark.prove(cs, pk, rng=_r.Random(0), mask=True)
+    snark.verify(vk, cs.public_input(), proof)   # warm
+
+    t0 = time.time()
+    snark.verify(vk, cs.public_input(), proof)
+    t_single = time.time() - t0
+    vks = [vk] * k
+    pis = [cs.public_input()] * k
+    proofs = [proof] * k
+    t0 = time.time()
+    assert snark.batch_verify(vks, pis, proofs)
+    t_batch = time.time() - t0
+    log(f"verify single: {t_single*1e3:.2f} ms, batch x{k}: "
+        f"{t_batch*1e3:.1f} ms ({t_batch/k*1e3:.3f} ms/proof)")
+    return t_single, t_batch
+
+
+def bench_merkle_path(height: int, reps: int):
+    """Rescue Merkle path lookup+verify (reference
+    primitives/benches/merkle_path.rs:14-28, height 20; no committed
+    upstream number — criterion target only)."""
+    from mpc_jellyfish_tpu.curves import BN254
+    from mpc_jellyfish_tpu.primitives.merkle import RescueMerkleTree
+
+    spec = BN254.fr
+    tree = RescueMerkleTree.from_elems(spec, height, list(range(2000)))
+    commitment = tree.commitment()
+    elem, proof = tree.lookup(5)
+    # warm
+    assert RescueMerkleTree.verify(spec, commitment, 5, proof)
+    t0 = time.time()
+    for _ in range(reps):
+        assert RescueMerkleTree.verify(spec, commitment, 5, proof)
+    t = (time.time() - t0) / reps
+    log(f"rescue merkle path verify (height {height}): {t*1e3:.2f} ms")
+    return t
+
+
 def main():
     log_n = int(os.environ.get("BENCH_LOG_N", "14"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -195,9 +255,32 @@ def main():
     t0 = time.time()
     import jax
     from mpc_jellyfish_tpu import curves
-    curve = {"bn254": curves.BN254, "bls12_381": curves.BLS12_381}[curve_name]
+    curve = curves.CURVES[curve_name]
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()} "
         f"({time.time()-t0:.1f}s import)")
+
+    if os.environ.get("BENCH_MERKLE", ""):
+        height = int(os.environ.get("BENCH_MERKLE"))
+        t = bench_merkle_path(height, max(reps, 10))
+        print(json.dumps({
+            "metric": f"rescue_merkle_path_verify_h{height}",
+            "value": round(t * 1e3, 3),
+            "unit": "ms",
+            "vs_baseline": 1.0,   # no committed upstream number (BASELINE.md)
+        }))
+        return
+
+    if os.environ.get("BENCH_BATCH_VERIFY", ""):
+        k = int(os.environ.get("BENCH_BATCH_VERIFY"))
+        t_single, t_batch = bench_batch_verify(curve, log_n, k)
+        base_single, base_batch = VERIFY_BASELINES[curve_name]
+        print(json.dumps({
+            "metric": f"batch_verify_{k}_{curve_name}_ms",
+            "value": round(t_batch * 1e3, 2),
+            "unit": "ms",
+            "vs_baseline": round(base_batch / (t_batch * 1e3), 4),
+        }))
+        return
 
     if os.environ.get("BENCH_COLLAB", "") == "1":
         n, single, collab = bench_collaborative(curve, log_n, reps)
@@ -225,9 +308,10 @@ def main():
         n, tp, tv, _ = bench_size(curve, log_n, reps)
         ns_per_constraint = tp * 1e9 / n
 
-    baseline = BASELINES[curve_name]
+    plonk_type = os.environ.get("BENCH_PLONK", "turbo")
+    baseline = BASELINES[(plonk_type, curve_name)]
     print(json.dumps({
-        "metric": f"{os.environ.get('BENCH_PLONK', 'turbo')}plonk_prove_ns_per_constraint_{curve_name}_n{n}",
+        "metric": f"{plonk_type}plonk_prove_ns_per_constraint_{curve_name}_n{n}",
         "value": round(ns_per_constraint, 1),
         "unit": "ns/constraint",
         "vs_baseline": round(baseline / ns_per_constraint, 4),
