@@ -143,6 +143,21 @@ def _f12_from_bytes(b: bytes):
     return (f6(0), f6(6))
 
 
+def _f2_pow(p: int, beta: int, base: tuple, e: int) -> tuple:
+    """(c0 + c1 u)^e in Fq2 = Fq[u]/(u^2 - beta), host bigints."""
+    def mul(a, b):
+        a0, a1 = a
+        b0, b1 = b
+        return ((a0 * b0 + beta * a1 * b1) % p, (a0 * b1 + a1 * b0) % p)
+    r = (1, 0)
+    while e:
+        if e & 1:
+            r = mul(r, base)
+        base = mul(base, base)
+        e >>= 1
+    return r
+
+
 def multi_pairing(curve, g1s, g2s):
     """prod_i e(P_i, Q_i) as a Python f12 tuple, or None (fallback)."""
     got = _get_ctx(curve)
@@ -159,13 +174,35 @@ def multi_pairing(curve, g1s, g2s):
     else:
         return None
     sbits = bytes(int(b) for b in bin(s)[2:])
+    use_twist = (hasattr(mod, "miller_twist")
+                 and os.environ.get("MPC_JELLYFISH_OLD_MILLER", "") != "1")
+    if use_twist:
+        p = curve.fq.p
+        m_twist = 1 if PR._twist_type(curve) == "M" else 0
+        b2b = _i2b(curve.b2[0] % p) + _i2b(curve.b2[1] % p)
+        frob = b""
+        if kind == 2:
+            # psi-map Frobenius constants for the BN last two add steps:
+            # pi(psi(x,y)) = psi(conj(x) A1, conj(y) B1), A1 = xi^((p-1)/3),
+            # B1 = xi^((p-1)/2) in Fq2 (D-twist; u2 = w^2, u3 = w^3)
+            xi = PR._xi(curve)
+            beta = curve.fq2_nonresidue
+            a1 = _f2_pow(p, beta, xi, (p - 1) // 3)
+            b1 = _f2_pow(p, beta, xi, (p - 1) // 2)
+            frob = _i2b(a1[0]) + _i2b(a1[1]) + _i2b(b1[0]) + _i2b(b1[1])
     f_acc = None
     for P, Q in zip(g1s, g2s):
         if P.inf or Q.inf:
             continue
-        Qx, Qy = PR.untwist(curve, Q)
-        fb = mod.miller(ctx, kind, sbits, _i2b(P.x) + _i2b(P.y),
-                        _f12_bytes(Qx), _f12_bytes(Qy))
+        if use_twist:
+            qb = (_i2b(Q.x[0]) + _i2b(Q.x[1])
+                  + _i2b(Q.y[0]) + _i2b(Q.y[1]))
+            fb = mod.miller_twist(ctx, kind, m_twist, sbits, b2b,
+                                  _i2b(P.x) + _i2b(P.y), qb, frob)
+        else:
+            Qx, Qy = PR.untwist(curve, Q)
+            fb = mod.miller(ctx, kind, sbits, _i2b(P.x) + _i2b(P.y),
+                            _f12_bytes(Qx), _f12_bytes(Qy))
         f_acc = fb if f_acc is None else mod.f12_mul(ctx, f_acc, fb)
     if f_acc is None:
         return T.F12_ONE

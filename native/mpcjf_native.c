@@ -459,7 +459,19 @@ static void f12_mul(const fctx *c, f12 *o, const f12 *a, const f12 *b) {
     f6_add(c, &o->c0, &v0, &vv);
     o->c1 = t2;
 }
-static void f12_sqr(const fctx *c, f12 *o, const f12 *a) { f12_mul(c, o, a, a); }
+static void f12_sqr(const fctx *c, f12 *o, const f12 *a) {
+    /* complex squaring over Fq6 (exact for all inputs): 2 f6_muls vs 3 */
+    f6 v0, t0, t1, vv;
+    f6_mul(c, &v0, &a->c0, &a->c1);               /* c0*c1 */
+    f6_mul_by_v(c, &vv, &a->c1);
+    f6_add(c, &t0, &a->c0, &a->c1);               /* c0 + c1 */
+    f6_add(c, &t1, &a->c0, &vv);                  /* c0 + v*c1 */
+    f6_mul(c, &t0, &t0, &t1);                     /* = c0^2 + v c1^2 + (1+v)c0c1 */
+    f6_sub(c, &t0, &t0, &v0);
+    f6_mul_by_v(c, &vv, &v0);
+    f6_sub(c, &o->c0, &t0, &vv);
+    f6_add(c, &o->c1, &v0, &v0);
+}
 static void f12_conj(const fctx *c, f12 *o, const f12 *a) {
     o->c0 = a->c0;
     f6_neg(c, &o->c1, &a->c1);
@@ -744,6 +756,204 @@ static void f12_to_bytes(const fctx *c, uint8_t *b, const f12 *a) {
 /* miller(ctx, kind, sbits_bytes, P 64B, Qx 384B, Qy 384B) -> f12 768B
  * kind: 0 = plain loop (BLS x>0), 1 = conjugate at end (BLS x<0),
  *       2 = BN254 (frobenius correction lines; q1/q2 computed in C) */
+/* ------------------------------------------------------------------ */
+/* Projective twist-side Miller loop (no per-step inversions).         */
+/*                                                                     */
+/* T lives on the sextic twist E'(Fq2): y^2 = x^3 + b2, homogeneous    */
+/* (X:Y:Z).  Per step only the LINE is embedded into Fq12 — three      */
+/* sparse monomial coefficients whose w-positions depend on the twist  */
+/* type (derivation in pairing.py untwist conventions):                */
+/*   D-twist (u2=w^2, u3=w^3):  l = a*w^0 + b*w^1 + cc*w^3             */
+/*   M-twist (u2=w^4/xi, u3=w^3/xi), scaled by xi:                     */
+/*                               l = xi*a*w^0 + b*w^5 + cc*w^3         */
+/* with a = H*yP, b = -3X^2*xP, cc = Y^2 - 3 b2 Z^2 (doubling;         */
+/* H = 2YZ) and a = D*yP, b = -E*xP, cc = E*x2 - D*y2 (mixed add,      */
+/* D = X - x2 Z, E = Y - y2 Z).  Lines are scaled freely (subfield     */
+/* factors die in the final exponentiation).                          */
+/* ------------------------------------------------------------------ */
+
+static void f2_scale_fe(const fctx *c, f2 *o, const f2 *a, const fe *s) {
+    fe_mul(c, &o->c0, &a->c0, s);
+    fe_mul(c, &o->c1, &a->c1, s);
+}
+
+typedef struct { f2 X, Y, Z; } g2p;
+
+static void tw_dbl(const fctx *c, const f2 *b2, g2p *T,
+                   f2 *la, f2 *lb, f2 *lc) {
+    f2 B, C, E, J, XY, YZ, t0, t1, E3;
+    f2_sqr(c, &B, &T->Y);                    /* Y^2 */
+    f2_sqr(c, &C, &T->Z);                    /* Z^2 */
+    f2_mul(c, &E, &C, b2);                   /* b' Z^2 */
+    f2_add(c, &t0, &E, &E);
+    f2_add(c, &E, &t0, &E);                  /* E = 3 b' Z^2 */
+    f2_sqr(c, &J, &T->X);                    /* X^2 */
+    f2_mul(c, &XY, &T->X, &T->Y);
+    f2_mul(c, &YZ, &T->Y, &T->Z);
+    /* line: la = 2YZ ; lb = -3X^2 ; lc = Y^2 - 3 b' Z^2 (pre-P scaling) */
+    f2_add(c, la, &YZ, &YZ);
+    f2_add(c, &t0, &J, &J);
+    f2_add(c, &t0, &t0, &J);
+    f2_neg(c, lb, &t0);
+    f2_sub(c, lc, &B, &E);
+    /* F = 3E; X3 = 2 XY (B - F); Y3 = (B+F)^2 - 12 E^2; Z3 = 8 B Y Z */
+    f2_add(c, &E3, &E, &E);
+    f2_add(c, &E3, &E3, &E);                 /* F = 3E */
+    f2_sub(c, &t0, &B, &E3);
+    f2_mul(c, &t0, &t0, &XY);
+    f2_add(c, &T->X, &t0, &t0);              /* X3 */
+    f2_add(c, &t0, &B, &E3);
+    f2_sqr(c, &t0, &t0);                     /* (B+F)^2 */
+    f2_sqr(c, &t1, &E);
+    f2_add(c, &E, &t1, &t1);
+    f2_add(c, &E, &E, &E);                   /* 4 E^2 */
+    f2_add(c, &t1, &E, &E);
+    f2_add(c, &t1, &t1, &E);                 /* 12 E^2 */
+    f2_sub(c, &T->Y, &t0, &t1);              /* Y3 */
+    f2_mul(c, &t0, &B, &YZ);
+    f2_add(c, &t0, &t0, &t0);
+    f2_add(c, &t0, &t0, &t0);
+    f2_add(c, &T->Z, &t0, &t0);              /* Z3 = 8 B YZ */
+}
+
+static void tw_add(const fctx *c, g2p *T, const f2 *x2, const f2 *y2,
+                   f2 *la, f2 *lb, f2 *lc) {
+    f2 D, E, D2, D3, C1, t0, t1;
+    f2_mul(c, &t0, x2, &T->Z);
+    f2_sub(c, &D, &T->X, &t0);               /* D = X - x2 Z */
+    f2_mul(c, &t0, y2, &T->Z);
+    f2_sub(c, &E, &T->Y, &t0);               /* E = Y - y2 Z */
+    /* line: la = D ; lb = -E ; lc = E x2 - D y2 */
+    *la = D;
+    f2_neg(c, lb, &E);
+    f2_mul(c, &t0, &E, x2);
+    f2_mul(c, &t1, &D, y2);
+    f2_sub(c, lc, &t0, &t1);
+    /* point update */
+    f2_sqr(c, &D2, &D);
+    f2_mul(c, &D3, &D2, &D);
+    f2_sqr(c, &t0, &E);
+    f2_mul(c, &t0, &t0, &T->Z);              /* E^2 Z */
+    f2_mul(c, &t1, x2, &T->Z);
+    f2_add(c, &t1, &t1, &T->X);              /* X + x2 Z */
+    f2_mul(c, &t1, &t1, &D2);
+    f2_sub(c, &C1, &t0, &t1);                /* C1 */
+    f2_mul(c, &t0, &T->X, &D2);
+    f2_sub(c, &t0, &t0, &C1);
+    f2_mul(c, &t0, &t0, &E);
+    f2_mul(c, &t1, &T->Y, &D3);
+    f2_sub(c, &T->Y, &t0, &t1);              /* Y3 */
+    f2_mul(c, &T->X, &D, &C1);               /* X3 */
+    f2_mul(c, &T->Z, &T->Z, &D3);            /* Z3 */
+}
+
+/* place the line into f12 and multiply f by it */
+static void tw_line_mul(const fctx *c, int m_twist, f12 *f,
+                        const f2 *la, const f2 *lb, const f2 *lc,
+                        const fe *xP, const fe *yP) {
+    f12 l;
+    memset(&l, 0, sizeof l);
+    f2 a, b;
+    f2_scale_fe(c, &a, la, yP);
+    f2_scale_fe(c, &b, lb, xP);
+    if (m_twist) {
+        f2_mul_xi(c, &l.c0.c0, &a);          /* xi*a at w^0 */
+        l.c1.c2 = b;                         /* w^5 */
+        l.c1.c1 = *lc;                       /* w^3 */
+    } else {
+        l.c0.c0 = a;                         /* w^0 */
+        l.c1.c0 = b;                         /* w^1 */
+        l.c1.c1 = *lc;                       /* w^3 */
+    }
+    f12_mul(c, f, f, &l);
+}
+
+/* miller_twist(ctx, kind, m_twist, sbits, b2 64, P 64, Q 128, frob 256)
+   kind: 0 = plain, 1 = conjugate at end (negative-x BLS),
+         2 = BN: two extra add steps with q1 = pi(Q), q2 = -pi^2(Q);
+   frob = A1 | B1 (Fq2 psi-map constants, 64B each) for kind 2 (else 0B). */
+static PyObject *py_miller_twist(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    int kind, m_twist;
+    Py_buffer sbits, b2b, pb, qb, fr;
+    if (!PyArg_ParseTuple(args, "Oiiy*y*y*y*y*", &cap, &kind, &m_twist,
+                          &sbits, &b2b, &pb, &qb, &fr))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    if (b2b.len != 64 || pb.len != 64 || qb.len != 128 ||
+        (kind == 2 && fr.len != 128)) {
+        PyErr_SetString(PyExc_ValueError, "miller_twist: bad buffer sizes");
+        return NULL;
+    }
+    f2 b2, qx, qy;
+    fe xP, yP;
+    fe_from_bytes(c, &b2.c0, (const uint8_t *)b2b.buf);
+    fe_from_bytes(c, &b2.c1, (const uint8_t *)b2b.buf + 32);
+    fe_from_bytes(c, &xP, (const uint8_t *)pb.buf);
+    fe_from_bytes(c, &yP, (const uint8_t *)pb.buf + 32);
+    fe_from_bytes(c, &qx.c0, (const uint8_t *)qb.buf);
+    fe_from_bytes(c, &qx.c1, (const uint8_t *)qb.buf + 32);
+    fe_from_bytes(c, &qy.c0, (const uint8_t *)qb.buf + 64);
+    fe_from_bytes(c, &qy.c1, (const uint8_t *)qb.buf + 96);
+
+    g2p T;
+    T.X = qx;
+    T.Y = qy;
+    f2 one2;
+    memset(&one2, 0, sizeof one2);
+    one2.c0 = c->one;
+    T.Z = one2;
+
+    f12 f;
+    f12_one(c, &f);
+    f2 la, lb, lc;
+    const uint8_t *bits = (const uint8_t *)sbits.buf;
+    for (Py_ssize_t i = 1; i < sbits.len; i++) {
+        f12 fs;
+        f12_sqr(c, &fs, &f);
+        f = fs;
+        tw_dbl(c, &b2, &T, &la, &lb, &lc);
+        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, &xP, &yP);
+        if (bits[i]) {
+            tw_add(c, &T, &qx, &qy, &la, &lb, &lc);
+            tw_line_mul(c, m_twist, &f, &la, &lb, &lc, &xP, &yP);
+        }
+    }
+    if (kind == 1) {
+        f12 t;
+        f12_conj(c, &t, &f);
+        f = t;
+    } else if (kind == 2) {
+        f2 A1, B1, q1x, q1y, q2x, q2y, t;
+        fe_from_bytes(c, &A1.c0, (const uint8_t *)fr.buf);
+        fe_from_bytes(c, &A1.c1, (const uint8_t *)fr.buf + 32);
+        fe_from_bytes(c, &B1.c0, (const uint8_t *)fr.buf + 64);
+        fe_from_bytes(c, &B1.c1, (const uint8_t *)fr.buf + 96);
+        /* q1 = (conj(x) A1, conj(y) B1); q2 = -pi(q1) */
+        f2_conj(c, &t, &qx);
+        f2_mul(c, &q1x, &t, &A1);
+        f2_conj(c, &t, &qy);
+        f2_mul(c, &q1y, &t, &B1);
+        f2_conj(c, &t, &q1x);
+        f2_mul(c, &q2x, &t, &A1);
+        f2_conj(c, &t, &q1y);
+        f2_mul(c, &t, &t, &B1);
+        f2_neg(c, &q2y, &t);
+        tw_add(c, &T, &q1x, &q1y, &la, &lb, &lc);
+        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, &xP, &yP);
+        tw_add(c, &T, &q2x, &q2y, &la, &lb, &lc);
+        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, &xP, &yP);
+    }
+    uint8_t out[768];
+    f12_to_bytes(c, out, &f);
+    PyBuffer_Release(&sbits);
+    PyBuffer_Release(&b2b);
+    PyBuffer_Release(&pb);
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&fr);
+    return PyBytes_FromStringAndSize((const char *)out, 768);
+}
+
 static PyObject *py_miller(PyObject *self, PyObject *args) {
     PyObject *cap;
     int kind;
@@ -1064,7 +1274,9 @@ static PyObject *py_fixed_base_powers(PyObject *self, PyObject *args) {
 static PyMethodDef methods[] = {
     {"ctx_new", py_ctx_new, METH_VARARGS, "create field context"},
     {"msm", py_msm, METH_VARARGS, "G1 Pippenger MSM"},
-    {"miller", py_miller, METH_VARARGS, "ate Miller loop"},
+    {"miller", py_miller, METH_VARARGS, "ate Miller loop (Fq12 affine)"},
+    {"miller_twist", py_miller_twist, METH_VARARGS,
+     "ate Miller loop (projective twist-side, no inversions)"},
     {"f12_mul", py_f12_mul, METH_VARARGS, "Fq12 multiply"},
     {"final_exp", py_final_exp, METH_VARARGS, "final exponentiation"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
