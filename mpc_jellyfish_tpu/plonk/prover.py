@@ -310,58 +310,130 @@ class Prover:
         return comm, coeffs
 
     # -- rounds 1.5 / 2.5: Plookup ----------------------------------------
-    def run_plookup_1st_round(self, ck, sorted_vec_host, rng, mask: bool):
+    def plookup_merge(self, pk, wire_values, tau: int):
+        """Merged lookup table t(tau) and merged lookup wire lw(tau), ON
+        DEVICE (constraint_system.rs:1370-1417 value computation).
+
+        Round 2's host loops over n gates of bigint math (~6s at 2^17) are
+        replaced by one jitted elementwise program over the already-resident
+        wire tensor and the static eval tables cached on the plookup pk."""
+        spec = self.spec
+        ppk = pk.plookup_pk
+        statics = ppk.eval_tables    # [L, 5, n]: rt, key, tds, qds, q_lookup
+        tau_d = upload(spec, [tau])
+        if isinstance(wire_values, (list, tuple)):
+            wire_values = jnp.stack(list(wire_values), axis=1)  # [L, W, n]
+
+        def fn(wv, st, tau_):
+            rt, key, tds, qds, ql = (st[:, j] for j in range(5))
+            w0, w1, w2, w3, w4, w5 = (wv[:, j] for j in range(6))
+            # t = rt + ql*tau*(tds + tau*(key + tau*(w3 + tau w4)))
+            acc = F.add(spec, w3, F.mul(spec, tau_, w4))
+            acc = F.add(spec, key, F.mul(spec, tau_, acc))
+            acc = F.add(spec, tds, F.mul(spec, tau_, acc))
+            mt = F.add(spec, rt, F.mul(spec, F.mul(spec, ql, tau_), acc))
+            # lw = w5 + ql*tau*(qds + tau*(w0 + tau(w1 + tau w2)))
+            acc = F.add(spec, w1, F.mul(spec, tau_, w2))
+            acc = F.add(spec, w0, F.mul(spec, tau_, acc))
+            acc = F.add(spec, qds, F.mul(spec, tau_, acc))
+            ml = F.add(spec, w5, F.mul(spec, F.mul(spec, ql, tau_), acc))
+            return mt, ml
+
+        from ..utils.aot_cache import cached_jit
+        f = cached_jit(f"plkm-{spec.name}-n{self.n}", fn, wire_values,
+                       statics, tau_d, deps=("prover",))
+        return f(wire_values, statics, tau_d)
+
+    def run_plookup_1st_round(self, ck, sorted_dev, rng, mask: bool):
         """Commit the sorted-vector halves h1, h2 (prover.rs:98-118).
 
-        Returns (comms, [h1, h2] coeff polys, sorted_vec device tensor)."""
+        sorted_dev: [L, 2n-1] device tensor (gathered from the merged
+        table by index — no host field math).  Returns (comms, [h1, h2])."""
         spec = self.spec
         n = self.n
-        sorted_dev = upload(spec, sorted_vec_host)          # [L, 2n-1]
-        h1 = self.be.intt(self.domain, sorted_dev[:, :n])
-        h2 = self.be.intt(self.domain, sorted_dev[:, n - 1:])
-        polys = self._mask_polys([h1, h2], 2, rng, mask, n + 3)
-        comms = self.be.commit_batch(ck, polys)
-        return comms, polys, sorted_dev
+        out_len = n + 3
+        md = upload(spec, [rng.randrange(spec.p) for _ in range(6)]
+                    if mask else [0] * 6).reshape(spec.num_limbs, 2, 3)
+        nck = ck.powers_of_g[0].shape[1]
+        tag, intt_fn, intt_args = N.intt_kernel(self.domain)
+
+        def fn(s, md_, *targs):
+            stacked = jnp.stack([s[:, :n], s[:, n - 1:]], axis=1)  # [L,2,n]
+            hs = intt_fn(stacked, *targs)
+            padded = jnp.concatenate(
+                [hs, F.zeros(spec, (2, out_len - n))], axis=2)
+            if mask:
+                padded = F.add(spec, padded,
+                               self._zh_mask(spec, md_, n, out_len))
+            return padded, self._msm_scalars(spec, padded, nck)
+
+        from ..utils.aot_cache import cached_jit
+        f = cached_jit(f"r15{tag}-{spec.name}-n{n}-msk{int(mask)}-nck{nck}",
+                       fn, sorted_dev, md, *intt_args,
+                       deps=("ntt", "prover"))
+        padded, sc = f(sorted_dev, md, *intt_args)
+        comms = kzg.commit_batch_stacked(ck, sc)
+        return comms, [padded[:, 0], padded[:, 1]]
 
     def run_plookup_2nd_round(self, ck, challenges: Challenges,
-                              merged_table_host, sorted_dev, lookup_wire_host,
+                              merged_table_dev, sorted_dev, lookup_wire_dev,
                               rng, mask: bool):
-        """Plookup grand product (constraint_system.rs:1311-1368)."""
+        """Plookup grand product (constraint_system.rs:1311-1368), fully
+        fused: pointwise terms + Fermat inverse + cumprod + iNTT + masking
+        + MSM prep in ONE executable (mirrors run_2nd_round)."""
         spec = self.spec
         p = spec.p
         n = self.n
         beta, gamma = challenges.beta, challenges.gamma
-        consts = upload(spec, [(1 + beta) % p, gamma * (1 + beta) % p, beta])
-        beta_plus_one = consts[:, 0:1]
-        gb1 = consts[:, 1:2]
-        beta_d = consts[:, 2:3]
-        gamma_d = upload(spec, [gamma])
+        mask_coeffs = [rng.randrange(spec.p) for _ in range(3)] if mask \
+            else [0, 0, 0]
+        consts = upload(spec, [(1 + beta) % p, gamma * (1 + beta) % p, beta,
+                               gamma] + mask_coeffs)
+        out_len = n + 3
+        nck = ck.powers_of_g[0].shape[1]
+        tag, intt_fn, intt_args = N.intt_kernel(self.domain)
 
-        t = upload(spec, merged_table_host)                 # [L, n]
-        lw = upload(spec, lookup_wire_host)                 # [L, n]
-        s = sorted_dev                                      # [L, 2n-1]
+        def fn(t, lw, s, consts_, *targs):
+            beta_plus_one = consts_[:, 0:1]
+            gb1 = consts_[:, 1:2]
+            beta_d = consts_[:, 2:3]
+            gamma_d = consts_[:, 3:4]
+            md = consts_[:, 4:7].reshape(spec.num_limbs, 1, 3)
+            lw_j = lw[:, :n - 2]
+            t_j = t[:, :n - 2]
+            t_j1 = t[:, 1:n - 1]
+            h1_j = s[:, :n - 2]
+            h1_j1 = s[:, 1:n - 1]
+            h2_j = s[:, n - 1:2 * n - 3]
+            h2_j1 = s[:, n:2 * n - 2]
+            a = F.mul(spec, beta_plus_one, F.add(spec, gamma_d, lw_j))
+            a = F.mul(spec, a, F.add(
+                spec, gb1, F.add(spec, t_j, F.mul(spec, beta_d, t_j1))))
+            b = F.mul(
+                spec,
+                F.add(spec, gb1,
+                      F.add(spec, h1_j, F.mul(spec, beta_d, h1_j1))),
+                F.add(spec, gb1,
+                      F.add(spec, h2_j, F.mul(spec, beta_d, h2_j1))))
+            ratio = F.mul(spec, a, F.inv(spec, b))
+            prod = F.cumprod(spec, ratio, axis=1)
+            z = jnp.concatenate(
+                [F.ones(spec, (1,)), prod, F.ones(spec, (1,))], axis=1)
+            coeffs = intt_fn(z, *targs)
+            padded = jnp.concatenate(
+                [coeffs, F.zeros(spec, (out_len - n,))], axis=1)
+            if mask:
+                padded = F.add(spec, padded,
+                               self._zh_mask(spec, md, n, out_len)[:, 0])
+            return padded, self._msm_scalars(spec, padded[:, None], nck)
 
-        lw_j = lw[:, :n - 2]
-        t_j = t[:, :n - 2]
-        t_j1 = t[:, 1:n - 1]
-        h1_j = s[:, :n - 2]
-        h1_j1 = s[:, 1:n - 1]
-        h2_j = s[:, n - 1:2 * n - 3]
-        h2_j1 = s[:, n:2 * n - 2]
-
-        a = F.mul(spec, beta_plus_one, F.add(spec, gamma_d, lw_j))
-        a = F.mul(spec, a, F.add(spec, gb1,
-                                 F.add(spec, t_j, F.mul(spec, beta_d, t_j1))))
-        b = F.mul(spec,
-                  F.add(spec, gb1, F.add(spec, h1_j, F.mul(spec, beta_d, h1_j1))),
-                  F.add(spec, gb1, F.add(spec, h2_j, F.mul(spec, beta_d, h2_j1))))
-        ratio = F.mul(spec, a, F.inv(spec, b))
-        prod = self.be.cumprod(spec, ratio)               # [L, n-2]
-        z = jnp.concatenate(
-            [F.ones(spec, (1,)), prod, F.ones(spec, (1,))], axis=1)  # [L, n]
-        coeffs = self.be.intt(self.domain, z)
-        coeffs = self._mask_polys([coeffs], 2, rng, mask, n + 3)[0]
-        comm = self.be.commit_batch(ck, [coeffs])[0]
+        from ..utils.aot_cache import cached_jit
+        args = (merged_table_dev, lookup_wire_dev, sorted_dev, consts) \
+            + intt_args
+        f = cached_jit(f"r25{tag}-{spec.name}-n{n}-msk{int(mask)}-nck{nck}",
+                       fn, *args, deps=("ntt", "prover"))
+        coeffs, sc = f(*args)
+        comm = kzg.commit_batch_stacked(ck, sc)[0]
         return comm, coeffs
 
     # -- round 3: quotient -------------------------------------------------

@@ -95,16 +95,23 @@ class PlonkKzgSnark:
         plookup_vk = None
         if circuit.support_lookup():
             from .structs import PlookupProvingKey, PlookupVerifyingKey
-            tbl_polys = [
-                N.intt(domain, spec.to_device(circuit.range_table_vector())),
-                N.intt(domain, spec.to_device(circuit.key_table_vector())),
-                N.intt(domain, spec.to_device(circuit.table_dom_sep_vector())),
-                N.intt(domain, spec.to_device(circuit.q_dom_sep_vector())),
+            import jax.numpy as jnp
+            tbl_evals = [
+                spec.to_device(circuit.range_table_vector()),
+                spec.to_device(circuit.key_table_vector()),
+                spec.to_device(circuit.table_dom_sep_vector()),
+                spec.to_device(circuit.q_dom_sep_vector()),
             ]
+            tbl_polys = [N.intt(domain, e) for e in tbl_evals]
             tbl_comms = kzg.commit_batch(ck, tbl_polys)
+            # static eval columns for the device-side round-1.5 merge;
+            # q_lookup is the last selector column by construction
+            q_lookup_evals = spec.to_device(circuit.all_selectors()[-1])
             plookup_pk = PlookupProvingKey(
                 range_table_poly=tbl_polys[0], key_table_poly=tbl_polys[1],
-                table_dom_sep_poly=tbl_polys[2], q_dom_sep_poly=tbl_polys[3])
+                table_dom_sep_poly=tbl_polys[2], q_dom_sep_poly=tbl_polys[3],
+                eval_tables=jnp.stack(
+                    tbl_evals + [q_lookup_evals], axis=1))
             plookup_vk = PlookupVerifyingKey(
                 range_table_comm=tbl_comms[0], key_table_comm=tbl_comms[1],
                 table_dom_sep_comm=tbl_comms[2], q_dom_sep_comm=tbl_comms[3])
@@ -247,16 +254,26 @@ class PlonkKzgSnark:
         for i, c in enumerate(circuits):
             if c.support_lookup():
                 from .structs import PlookupOracles
-                merged_table = c.merged_lookup_table(challenges.tau)
-                sorted_vec = c.lookup_sorted_vec(challenges.tau, merged_table)
-                comms, h_polys, sorted_dev = prover.run_plookup_1st_round(
-                    pks[i].commit_key, sorted_vec, rng, mask)
+                import jax.numpy as jnp
+                # merged table/wire values on DEVICE; only the sort order
+                # (pure int counting) is computed on the host, and the
+                # sorted vector is a device gather of the merged table
+                mt_dev, ml_dev = prover.plookup_merge(
+                    pks[i], wire_values_list[i], challenges.tau)
+                idx = c.lookup_sorted_indices(spec.from_device(mt_dev),
+                                              spec.from_device(ml_dev))
+                import numpy as _np
+                sorted_dev = jnp.take(
+                    mt_dev, jnp.asarray(_np.asarray(idx, dtype=_np.int32)),
+                    axis=1)
+                comms, h_polys = prover.run_plookup_1st_round(
+                    pks[i].commit_key, sorted_dev, rng, mask)
                 oracles_list[i].plookup_oracles = PlookupOracles(h_polys=h_polys)
                 transcript.append_commitments(b"h_poly_comms", comms)
                 h_poly_comms_vec[i] = comms
-                merged_table_list[i] = merged_table
+                merged_table_list[i] = mt_dev
                 sorted_dev_list[i] = sorted_dev
-                lookup_wire_list[i] = c.merged_lookup_wire_values(challenges.tau)
+                lookup_wire_list[i] = ml_dev
 
         # Round 2
         challenges.beta = transcript.get_and_append_challenge(b"beta")

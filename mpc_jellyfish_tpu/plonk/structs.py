@@ -131,6 +131,9 @@ class PlookupProvingKey:
     key_table_poly: object
     table_dom_sep_poly: object
     q_dom_sep_poly: object
+    # [L, 5, n] static EVAL columns (rt, key, tds, qds, q_lookup) consumed
+    # by the device-side round-1.5 merge (Prover.plookup_merge)
+    eval_tables: object = None
 
 
 @dataclass

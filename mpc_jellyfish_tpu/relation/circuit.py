@@ -962,6 +962,27 @@ class PlonkCircuit:
             out.append(v)
         return out
 
+    def lookup_sorted_indices(self, merged_table: list, lookups: list) -> list:
+        """Index form of `lookup_sorted_vec`: positions INTO merged_table
+        whose gather reproduces the sorted vector (len 2n-1).  The merged
+        values arrive as plain ints (computed on device by the prover:
+        `Prover.plookup_merge`); this does only hashing/counting — no field
+        math — so round 1.5 stays off the host bigint path."""
+        n = self.eval_domain_size()
+        counts = {}
+        for v in lookups[:n - 1]:
+            counts[v] = counts.get(v, 0) + 1
+        idx = []
+        for i, t in enumerate(merged_table):
+            if t in counts:
+                idx.extend([i] * (1 + counts.pop(t)))
+            else:
+                idx.append(i)
+        if len(idx) != 2 * n - 1:
+            raise CircuitError(
+                "lookup variable outside the table (sorted vector length mismatch)")
+        return idx
+
     def lookup_sorted_vec(self, tau: int, merged_table: list) -> list:
         """Sorted concatenation of lookups and table, ordered by the table
         (reference constraint_system.rs:1370-1417).  Length 2n-1."""
