@@ -18,8 +18,13 @@ LOGDIR=$(mktemp -d /tmp/mpc_jf_suite.XXXX)
 run_one() {
     f=$1; shift
     log="$LOGDIR/$(basename "$f" .py).log"
+    # drop caller-supplied -q/-qq: the runner already passes -q, and -qq
+    # would hide the "N passed" summary the accounting below parses
+    args=()
+    for a in "$@"; do case "$a" in -q|-qq) ;; *) args+=("$a");; esac; done
     env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
-        python -m pytest "$f" -q -p no:cacheprovider "$@" > "$log" 2>&1
+        python -m pytest "$f" -q -p no:cacheprovider ${args[@]+"${args[@]}"} \
+        > "$log" 2>&1
     rc=$?
     # interpreter crash (segfault/abort under parallel compile load, not a
     # test failure): retry once
