@@ -45,10 +45,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_field import _mm_vecs, _add_vecs, _sub_vecs
 
+import os
+
 LANES = 128
 MAX_F = 128          # max in-kernel factor (VMEM-limited)
 MIN_FUSED_N = 1 << 14
 BLK_ELEMS = 1 << 14  # f * W elements per grid block (~1 MB per limb-stream)
+
+
+def _interpret() -> bool:
+    """Pallas interpreter mode: lets the CPU test suite execute the fused
+    kernels (slowly) against the per-stage oracle without TPU hardware."""
+    return os.environ.get("MPC_JELLYFISH_PALLAS_INTERPRET", "") == "1"
 
 
 def fused_factors(n: int):
@@ -231,6 +239,7 @@ def col_pass(spec, x: jnp.ndarray, stw: jnp.ndarray,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((L, 1, f, W), lambda b, m: (0, b, 0, m),
                                memory_space=pltpu.VMEM),
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
