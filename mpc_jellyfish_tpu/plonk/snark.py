@@ -393,12 +393,21 @@ class PlonkKzgSnark:
         if not (len(vks) == len(proofs) == len(public_inputs)
                 == len(extra_transcript_init_msgs)):
             raise PlonkError("inconsistent verify inputs")
-        pcs_infos = []
+        if not vks:
+            raise PlonkError("empty verify batch")
+        verifiers, jobs = [], []
         for vk, proof, pi, extra in zip(vks, proofs, public_inputs,
                                         extra_transcript_init_msgs):
-            verifier = Verifier(self.curve, vk.domain_size, self.transcript_cls)
-            pcs_infos.append(verifier.prepare_pcs_info(
-                [vk], [pi], BatchProof.from_proof(proof), extra))
+            verifiers.append(
+                Verifier(self.curve, vk.domain_size, self.transcript_cls))
+            jobs.append(([vk], [pi], BatchProof.from_proof(proof), extra))
+        # Fiat-Shamir chains for the whole batch at once (native keccak,
+        # pthread-parallel); falls back to per-proof hashing without C.
+        challenges_list = verifiers[0].compute_challenges_batch(jobs)
+        pcs_infos = [
+            verifier.pcs_info_with_challenges(ch, vks_i, pis_i, bp)
+            for verifier, ch, (vks_i, pis_i, bp, _) in zip(
+                verifiers, challenges_list, jobs)]
         if not Verifier.batch_verify_opening_proofs(
                 self.curve, vks[0].open_key, pcs_infos):
             raise WrongProof("proof verification failed")

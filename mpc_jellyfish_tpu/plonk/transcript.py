@@ -49,18 +49,25 @@ class SolidityTranscript:
             self.append_commitment(label, c)
 
     def append_vk_and_pub_input(self, vk, pub_input):
-        """Reference transcript/mod.rs:45-102."""
-        self.append_message(b"field size in bits",
-                            u32_to_bytes(self.curve.fr.p.bit_length()))
-        self.append_message(b"domain size", usize_to_bytes(vk.domain_size))
-        self.append_message(b"input size", usize_to_bytes(vk.num_inputs))
-        for ki in vk.k:
-            self.append_message(b"wire subsets separators",
-                                field_to_bytes(self.curve.fr, ki))
-        for c in vk.selector_comms:
-            self.append_message(b"selector commitments", g1_to_bytes(self.curve, c))
-        for c in vk.sigma_comms:
-            self.append_message(b"sigma commitments", g1_to_bytes(self.curve, c))
+        """Reference transcript/mod.rs:45-102.
+
+        The vk part is position-independent, so its serialization is cached
+        on the vk object — batch verification appends the same vk once per
+        proof and the bytes dominate the per-proof transcript cost."""
+        cached = getattr(vk, "_solidity_vk_bytes", None)
+        if cached is None:
+            parts = [u32_to_bytes(self.curve.fr.p.bit_length()),
+                     usize_to_bytes(vk.domain_size),
+                     usize_to_bytes(vk.num_inputs)]
+            parts += [field_to_bytes(self.curve.fr, ki) for ki in vk.k]
+            parts += [g1_to_bytes(self.curve, c) for c in vk.selector_comms]
+            parts += [g1_to_bytes(self.curve, c) for c in vk.sigma_comms]
+            cached = b"".join(parts)
+            try:
+                vk._solidity_vk_bytes = cached
+            except AttributeError:
+                pass
+        self.append_message(b"vk", cached)
         for x in pub_input:
             self.append_message(b"public input", field_to_bytes(self.curve.fr, x))
 

@@ -37,8 +37,40 @@ class ScalarsAndBases:
             self.pairs.append((s * scale % p, b))
 
     def multi_scalar_mul(self, fq_p: int, fr_p: int) -> AffinePoint:
-        return ec_msm_fast(fq_p, [b for _, b in self.pairs],
-                           [s for s, _ in self.pairs], order=fr_p)
+        # Merge repeated bases first (scalar adds are ~free next to point
+        # adds): across a verification batch the vk/SRS bases recur once per
+        # proof, so this shrinks the MSM by the sharing factor.
+        acc: dict = {}
+        for s, b in self.pairs:
+            key = (b.x, b.y, b.inf)
+            if key in acc:
+                acc[key][0] = (acc[key][0] + s) % fr_p
+            else:
+                acc[key] = [s % fr_p, b]
+        scalars = [v[0] for v in acc.values()]
+        bases = [v[1] for v in acc.values()]
+        return ec_msm_fast(fq_p, bases, scalars, order=fr_p)
+
+
+class _SegmentRecorder(SolidityTranscript):
+    """Transcript stand-in that records the byte segments appended between
+    challenge squeezes instead of hashing.  Running the regular
+    ``compute_challenges`` body over it yields the exact per-challenge
+    segments for the native keccak chain (``native.challenge_chain``)."""
+
+    def __init__(self, curve):
+        super().__init__(curve)
+        self._segments = []
+        self._mark = 0
+
+    def get_and_append_challenge(self, label: bytes) -> int:
+        t = bytes(self.transcript)
+        self._segments.append(t[self._mark:])
+        self._mark = len(t)
+        return 0  # placeholder — real challenges come from the native chain
+
+    def take_segments(self):
+        return self._segments
 
 
 @dataclass
@@ -69,8 +101,10 @@ class Verifier:
 
     # -- challenges (verifier.rs:256-321) --------------------------------
     def compute_challenges(self, vks, public_inputs, batch_proof: BatchProof,
-                           extra_transcript_init_msg=None) -> Challenges:
-        t = self.transcript_cls(self.curve)
+                           extra_transcript_init_msg=None,
+                           _transcript=None) -> Challenges:
+        t = _transcript if _transcript is not None \
+            else self.transcript_cls(self.curve)
         if extra_transcript_init_msg is not None:
             t.append_message(EXTRA_TRANSCRIPT_MSG_LABEL, extra_transcript_init_msg)
         for vk, pi in zip(vks, public_inputs):
@@ -103,6 +137,33 @@ class Verifier:
         u = t.get_and_append_challenge(b"u")
         return Challenges(tau=tau, alpha=alpha, beta=beta, gamma=gamma,
                           zeta=zeta, v=v, u=u)
+
+    def compute_challenges_batch(self, jobs) -> list:
+        """Challenges for many (vks, public_inputs, batch_proof, extra)
+        jobs at once.  For the Solidity transcript the per-proof keccak
+        chains are independent, so they run in the native C runtime,
+        pthread-parallel with the GIL released; byte-parity is guaranteed
+        by recording the segments through the same ``compute_challenges``
+        body that the hashing path uses."""
+        from ..utils import native
+        if self.transcript_cls is not SolidityTranscript:
+            return [self.compute_challenges(*job) for job in jobs]
+        seg_batches = []
+        for job in jobs:
+            rec = _SegmentRecorder(self.curve)
+            self.compute_challenges(*job, _transcript=rec)
+            seg_batches.append(rec.take_segments())
+        states = native.challenge_chain(seg_batches)
+        if states is None:
+            return [self.compute_challenges(*job) for job in jobs]
+        p = self.p
+        out = []
+        for st in states:
+            tau, beta, gamma, alpha, zeta, v, u = (
+                int.from_bytes(s[:48], "little") % p for s in st)
+            out.append(Challenges(tau=tau, alpha=alpha, beta=beta,
+                                  gamma=gamma, zeta=zeta, v=v, u=u))
+        return out
 
     # -- helpers ----------------------------------------------------------
     def evaluate_vanishing_poly(self, zeta: int) -> int:
@@ -322,9 +383,16 @@ class Verifier:
     # -- full preparation (verifier.rs:68-184) ------------------------------
     def prepare_pcs_info(self, vks, public_inputs, batch_proof,
                          extra_transcript_init_msg=None) -> PcsInfo:
-        p = self.p
         challenges = self.compute_challenges(
             vks, public_inputs, batch_proof, extra_transcript_init_msg)
+        return self.pcs_info_with_challenges(
+            challenges, vks, public_inputs, batch_proof)
+
+    def pcs_info_with_challenges(self, challenges, vks, public_inputs,
+                                 batch_proof) -> PcsInfo:
+        """prepare_pcs_info with the Fiat-Shamir challenges already computed
+        (batch verification derives them for all proofs at once)."""
+        p = self.p
         alpha = challenges.alpha
         alpha_powers = [pow(alpha, i, p) for i in range(2, 7)]
         alpha_bases = [1]

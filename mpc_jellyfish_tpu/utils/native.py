@@ -44,8 +44,8 @@ def _load():
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             inc = sysconfig.get_paths()["include"]
             subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", f"-I{inc}", src, "-o",
-                 so + ".tmp"],
+                ["cc", "-O3", "-pthread", "-shared", "-fPIC", f"-I{inc}",
+                 src, "-o", so + ".tmp"],
                 check=True, capture_output=True, timeout=120)
             os.replace(so + ".tmp", so)
         import importlib.util
@@ -122,6 +122,23 @@ def msm(p: int, points, scalars):
     if out[64]:
         return AffinePoint.infinity()
     return AffinePoint(_b2i(out[:32]), _b2i(out[32:64]))
+
+
+def challenge_chain(batches):
+    """Batched Solidity-transcript challenge chains.
+
+    batches: list (one per proof) of list-of-bytes segments — the bytes
+    appended between consecutive ``get_and_append_challenge`` calls.
+    Returns a list of per-proof lists of 64-byte states (sample
+    ``state[:48]`` little-endian mod r for the challenge), or None when the
+    native module is unavailable (caller falls back to SolidityTranscript).
+    """
+    mod = _load()
+    if mod is None:
+        return None
+    outs = mod.challenge_chain(batches)
+    return [[blob[i * 64:(i + 1) * 64] for i in range(len(blob) // 64)]
+            for blob in outs]
 
 
 def _f12_bytes(a) -> bytes:

@@ -19,6 +19,7 @@
 #include <stdint.h>
 #include <string.h>
 #include <stdlib.h>
+#include <unistd.h>
 
 typedef unsigned __int128 u128;
 
@@ -258,54 +259,190 @@ static void g1_add(const fctx *c, g1 *o, const g1 *P, const g1 *Q) {
     fe_mul(c, &o->z, &t, &H);
 }
 
-/* Pippenger MSM.  points: affine (x, y, inf) Montgomery; scalars raw 4x64 */
+/* Mixed addition: o = P (Jacobian) + (x2, y2) affine (Z2 = 1).
+ * 7M + 4S vs the 12M + 4S general add — bucket inserts are the MSM's hot
+ * loop, and every input point is affine. */
+static void g1_madd(const fctx *c, g1 *o, const g1 *P,
+                    const fe *x2, const fe *y2) {
+    if (fe_is_zero(&P->z)) { o->x = *x2; o->y = *y2; o->z = c->one; return; }
+    fe Z1Z1, U2, S2, H, HH, I, J, r, V, t, t2;
+    fe_sqr(c, &Z1Z1, &P->z);
+    fe_mul(c, &U2, x2, &Z1Z1);
+    fe_mul(c, &t, &P->z, &Z1Z1);
+    fe_mul(c, &S2, y2, &t);
+    fe_sub(c, &H, &U2, &P->x);
+    fe_sub(c, &r, &S2, &P->y);
+    if (fe_is_zero(&H)) {
+        if (fe_is_zero(&r)) { g1_dbl(c, o, P); return; }
+        g1_inf(c, o);
+        return;
+    }
+    fe_sqr(c, &HH, &H);
+    fe_add(c, &I, &HH, &HH);
+    fe_add(c, &I, &I, &I);
+    fe_mul(c, &J, &H, &I);
+    fe_add(c, &r, &r, &r);
+    fe_mul(c, &V, &P->x, &I);
+    fe_sqr(c, &t, &r);
+    fe_sub(c, &t, &t, &J);
+    fe_sub(c, &t, &t, &V);
+    fe_sub(c, &o->x, &t, &V);
+    fe_sub(c, &t, &V, &o->x);
+    fe_mul(c, &t, &r, &t);
+    fe_mul(c, &t2, &P->y, &J);
+    fe_add(c, &t2, &t2, &t2);
+    fe_sub(c, &o->y, &t, &t2);
+    fe_add(c, &t, &P->z, &H);
+    fe_sqr(c, &t, &t);
+    fe_sub(c, &t, &t, &Z1Z1);
+    fe_sub(c, &o->z, &t, &HH);
+}
+
+/* Pippenger MSM: signed-digit windows (halves the bucket count), mixed
+ * (affine) bucket inserts, and pthread parallelism across windows.
+ * points: affine (x, y, inf) Montgomery; scalars raw 4x64 LE, < 2^255. */
+
+static int msm_window_bits(Py_ssize_t n) {
+    if (n < 8) return 3;
+    int lg = 0;
+    while ((1LL << (lg + 1)) <= n) lg++;
+    int cb = lg * 69 / 100 + 2;   /* ~ln(n)+2, the Pippenger optimum */
+    if (cb < 3) cb = 3;
+    if (cb > 16) cb = 16;
+    return cb;
+}
+
+/* One window's partial sum S_w = sum_b b * bucket_w[b] (no doublings). */
+static void msm_window_sum(const fctx *c, g1 *out, const fe *xs,
+                           const fe *ys, const int16_t *digits,
+                           Py_ssize_t n, int nwin, int w, g1 *buckets,
+                           int half) {
+    for (int b = 0; b < half; b++) g1_inf(c, &buckets[b]);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        int d = digits[i * nwin + w];
+        if (d > 0) {
+            g1 t = buckets[d - 1];
+            g1_madd(c, &buckets[d - 1], &t, &xs[i], &ys[i]);
+        } else if (d < 0) {
+            fe ny;
+            fe_neg(c, &ny, &ys[i]);
+            g1 t = buckets[-d - 1];
+            g1_madd(c, &buckets[-d - 1], &t, &xs[i], &ny);
+        }
+    }
+    g1 running, sum, t;
+    g1_inf(c, &running);
+    g1_inf(c, &sum);
+    for (int b = half - 1; b >= 0; b--) {
+        t = running;
+        g1_add(c, &running, &t, &buckets[b]);
+        t = sum;
+        g1_add(c, &sum, &t, &running);
+    }
+    *out = sum;
+}
+
+#include <pthread.h>
+
+typedef struct {
+    const fctx *c;
+    const fe *xs, *ys;
+    const int16_t *digits;
+    Py_ssize_t n;
+    int nwin, cbits, tid, nthreads;
+    g1 *wins;      /* per-window partial sums, shared */
+} msm_task;
+
+static void *msm_worker(void *arg) {
+    msm_task *t = (msm_task *)arg;
+    int half = 1 << (t->cbits - 1);
+    g1 *buckets = (g1 *)malloc(sizeof(g1) * half);
+    if (!buckets) return (void *)1;
+    for (int w = t->tid; w < t->nwin; w += t->nthreads)
+        msm_window_sum(t->c, &t->wins[w], t->xs, t->ys, t->digits, t->n,
+                       t->nwin, w, buckets, half);
+    free(buckets);
+    return NULL;
+}
+
+static long msm_nthreads(void) {
+    const char *e = getenv("MPCJF_MSM_THREADS");
+    long nt = e ? atol(e) : 0;
+    if (nt <= 0) {
+        nt = sysconf(_SC_NPROCESSORS_ONLN);
+        if (nt <= 0) nt = 1;
+    }
+    if (nt > 16) nt = 16;
+    return nt;
+}
+
 static void g1_msm(const fctx *c, g1 *out, const fe *xs, const fe *ys,
                    const uint8_t *inf, const uint64_t *scalars,
                    Py_ssize_t n) {
-    int cbits = 4;
-    if (n >= 32) cbits = 7;
-    if (n >= 256) cbits = 9;
-    if (n >= 4096) cbits = 12;
-    int nwin = (256 + cbits - 1) / cbits;
-    int nbuckets = 1 << cbits;
-    g1 *buckets = (g1 *)malloc(sizeof(g1) * nbuckets);
-    g1 acc;
+    int cbits = msm_window_bits(n);
+    int nwin = 256 / cbits + 2;   /* 256 bits + signed-digit carry room */
+    /* Recode every scalar into signed digits in [-2^(c-1), 2^(c-1)];
+     * infinity points recode to all-zero digits. */
+    int16_t *digits = (int16_t *)malloc(sizeof(int16_t) * n * nwin);
+    if (!digits) { g1_inf(c, out); return; }
+    int half = 1 << (cbits - 1);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        int carry = 0;
+        for (int w = 0; w < nwin; w++) {
+            int bit = w * cbits;
+            int limb = bit / 64, off = bit % 64;
+            uint64_t v = 0;
+            if (limb < 4) {
+                v = scalars[i * 4 + limb] >> off;
+                if (off && limb + 1 < 4)
+                    v |= scalars[i * 4 + limb + 1] << (64 - off);
+            }
+            int d = (int)(v & (uint64_t)((1 << cbits) - 1)) + carry;
+            if (d > half) { d -= 1 << cbits; carry = 1; } else carry = 0;
+            digits[i * nwin + w] = inf[i] ? 0 : (int16_t)d;
+        }
+    }
+    g1 *wins = (g1 *)malloc(sizeof(g1) * nwin);
+    if (!wins) { free(digits); g1_inf(c, out); return; }
+    long nt = msm_nthreads();
+    if (nt > nwin) nt = nwin;
+    if ((Py_ssize_t)(n * nwin) < 2048) nt = 1;  /* tiny MSM: skip threads */
+    if (nt > 1) {
+        pthread_t th[16];
+        msm_task tasks[16];
+        for (long t = 0; t < nt; t++) {
+            tasks[t] = (msm_task){c, xs, ys, digits, n, nwin, cbits,
+                                  (int)t, (int)nt, wins};
+            if (pthread_create(&th[t], NULL, msm_worker, &tasks[t]) != 0) {
+                /* fall back to inline execution for the remaining shards */
+                msm_worker(&tasks[t]);
+                th[t] = pthread_self();
+            }
+        }
+        for (long t = 0; t < nt; t++)
+            if (!pthread_equal(th[t], pthread_self()))
+                pthread_join(th[t], NULL);
+    } else {
+        g1 *buckets = (g1 *)malloc(sizeof(g1) * half);
+        if (!buckets) { free(digits); free(wins); g1_inf(c, out); return; }
+        for (int w = 0; w < nwin; w++)
+            msm_window_sum(c, &wins[w], xs, ys, digits, n, nwin, w,
+                           buckets, half);
+        free(buckets);
+    }
+    /* Horner combine: acc = ((S_top * 2^c + S_top-1) * 2^c + ...) */
+    g1 acc, t;
     g1_inf(c, &acc);
     for (int w = nwin - 1; w >= 0; w--) {
         for (int d = 0; d < cbits; d++) {
-            g1 t = acc;
+            t = acc;
             g1_dbl(c, &acc, &t);
         }
-        for (int b = 0; b < nbuckets; b++) g1_inf(c, &buckets[b]);
-        for (Py_ssize_t i = 0; i < n; i++) {
-            if (inf[i]) continue;
-            int bit = w * cbits;
-            int limb = bit / 64, off = bit % 64;
-            uint64_t v = scalars[i * 4 + limb] >> off;
-            if (off && limb + 1 < 4)
-                v |= scalars[i * 4 + limb + 1] << (64 - off);
-            int digit = (int)(v & (uint64_t)(nbuckets - 1));
-            if (!digit) continue;
-            g1 pt;
-            pt.x = xs[i];
-            pt.y = ys[i];
-            pt.z = c->one;
-            g1 t = buckets[digit];
-            g1_add(c, &buckets[digit], &t, &pt);
-        }
-        g1 running, sum;
-        g1_inf(c, &running);
-        g1_inf(c, &sum);
-        for (int b = nbuckets - 1; b >= 1; b--) {
-            g1 t = running;
-            g1_add(c, &running, &t, &buckets[b]);
-            t = sum;
-            g1_add(c, &sum, &t, &running);
-        }
-        g1 t = acc;
-        g1_add(c, &acc, &t, &sum);
+        t = acc;
+        g1_add(c, &acc, &t, &wins[w]);
     }
-    free(buckets);
+    free(digits);
+    free(wins);
     *out = acc;
 }
 
@@ -718,8 +855,10 @@ static PyObject *py_msm(PyObject *self, PyObject *args) {
         fe_from_bytes(c, &ys[i], (const uint8_t *)yb.buf + 32 * i);
     }
     g1 res;
+    Py_BEGIN_ALLOW_THREADS
     g1_msm(c, &res, xs, ys, (const uint8_t *)ib.buf,
            (const uint64_t *)sb.buf, n);
+    Py_END_ALLOW_THREADS
     free(xs);
     free(ys);
     uint8_t out[65];
@@ -1188,6 +1327,165 @@ static PyObject *py_keccak256(PyObject *self, PyObject *args) {
     return PyBytes_FromStringAndSize((const char *)out, 32);
 }
 
+static void keccak256_raw(const uint8_t *p, size_t len, uint8_t out[32]) {
+    const size_t rate = 136;
+    uint64_t s[25] = {0};
+    uint8_t block[136];
+    size_t off = 0;
+    while (len - off >= rate) {
+        for (size_t i = 0; i < rate / 8; i++) {
+            uint64_t lane;
+            memcpy(&lane, p + off + 8 * i, 8);
+            s[i] ^= lane;
+        }
+        keccak_f1600(s);
+        off += rate;
+    }
+    size_t rem = len - off;
+    memset(block, 0, rate);
+    memcpy(block, p + off, rem);
+    block[rem] ^= 0x01;
+    block[rate - 1] ^= 0x80;
+    for (size_t i = 0; i < rate / 8; i++) {
+        uint64_t lane;
+        memcpy(&lane, block + 8 * i, 8);
+        s[i] ^= lane;
+    }
+    keccak_f1600(s);
+    for (int i = 0; i < 4; i++)
+        memcpy(out + 8 * i, &s[i], 8);
+}
+
+/* Solidity-transcript challenge chain (transcript/solidity.rs:53-77):
+ *   state = 64 zero bytes;  for each segment seg_i:
+ *     T += seg_i
+ *     state = keccak(state||T||0x00) || keccak(state||T||0x01)
+ *     out_i = state                    (caller samples state[..48] mod r)
+ * challenge_chain([[seg,...], ...]) -> [bytes(64*nseg), ...] — one chain
+ * per proof; chains hash in parallel (pthreads) with the GIL released. */
+
+typedef struct {
+    uint8_t *buf;      /* 64-byte state header + concatenated T + 1 spare */
+    size_t *ends;      /* cumulative end offset (incl. header) per segment */
+    int nseg;
+    uint8_t *out;      /* nseg * 64 */
+} cc_job;
+
+typedef struct { cc_job *jobs; Py_ssize_t k; int tid, nthreads; } cc_task;
+
+static void cc_run(cc_job *j) {
+    uint8_t h0[32], h1[32];
+    memset(j->buf, 0, 64);
+    for (int i = 0; i < j->nseg; i++) {
+        size_t pos = j->ends[i];
+        uint8_t save = j->buf[pos];  /* first byte of the NEXT segment */
+        j->buf[pos] = 0x00;
+        keccak256_raw(j->buf, pos + 1, h0);
+        j->buf[pos] = 0x01;
+        keccak256_raw(j->buf, pos + 1, h1);
+        j->buf[pos] = save;
+        memcpy(j->buf, h0, 32);
+        memcpy(j->buf + 32, h1, 32);
+        memcpy(j->out + 64 * i, j->buf, 64);
+    }
+}
+
+static void *cc_worker(void *arg) {
+    cc_task *t = (cc_task *)arg;
+    for (Py_ssize_t i = t->tid; i < t->k; i += t->nthreads)
+        cc_run(&t->jobs[i]);
+    return NULL;
+}
+
+static PyObject *py_challenge_chain(PyObject *self, PyObject *args) {
+    PyObject *batch;
+    if (!PyArg_ParseTuple(args, "O!", &PyList_Type, &batch)) return NULL;
+    Py_ssize_t k = PyList_GET_SIZE(batch);
+    cc_job *jobs = (cc_job *)calloc(k > 0 ? k : 1, sizeof(cc_job));
+    if (!jobs) return PyErr_NoMemory();
+    for (Py_ssize_t j = 0; j < k; j++) {
+        PyObject *segs = PyList_GET_ITEM(batch, j);
+        if (!PyList_Check(segs)) {
+            PyErr_SetString(PyExc_TypeError,
+                            "challenge_chain: expected list of list of bytes");
+            goto fail;
+        }
+        int nseg = (int)PyList_GET_SIZE(segs);
+        size_t total = 0;
+        for (int i = 0; i < nseg; i++) {
+            PyObject *s = PyList_GET_ITEM(segs, i);
+            if (!PyBytes_Check(s)) {
+                PyErr_SetString(PyExc_TypeError,
+                                "challenge_chain: segments must be bytes");
+                goto fail;
+            }
+            total += (size_t)PyBytes_GET_SIZE(s);
+        }
+        cc_job *job = &jobs[j];
+        job->nseg = nseg;
+        job->buf = (uint8_t *)malloc(64 + total + 1);
+        job->ends = (size_t *)malloc(sizeof(size_t) * (nseg > 0 ? nseg : 1));
+        job->out = (uint8_t *)malloc((size_t)(nseg > 0 ? nseg : 1) * 64);
+        if (!job->buf || !job->ends || !job->out) {
+            PyErr_NoMemory();
+            goto fail;
+        }
+        size_t pos = 64;
+        for (int i = 0; i < nseg; i++) {
+            PyObject *s = PyList_GET_ITEM(segs, i);
+            size_t len = (size_t)PyBytes_GET_SIZE(s);
+            memcpy(job->buf + pos, PyBytes_AS_STRING(s), len);
+            pos += len;
+            job->ends[i] = pos;
+        }
+    }
+    {
+        long nt = msm_nthreads();
+        if (nt > k) nt = k > 0 ? k : 1;
+        Py_BEGIN_ALLOW_THREADS
+        if (nt > 1) {
+            pthread_t th[16];
+            cc_task tasks[16];
+            long started = 0;
+            for (long t = 0; t < nt; t++) {
+                tasks[t] = (cc_task){jobs, k, (int)t, (int)nt};
+                if (pthread_create(&th[t], NULL, cc_worker, &tasks[t]) != 0) {
+                    cc_worker(&tasks[t]);
+                    th[t] = pthread_self();
+                }
+                started++;
+            }
+            for (long t = 0; t < started; t++)
+                if (!pthread_equal(th[t], pthread_self()))
+                    pthread_join(th[t], NULL);
+        } else {
+            for (Py_ssize_t j = 0; j < k; j++) cc_run(&jobs[j]);
+        }
+        Py_END_ALLOW_THREADS
+    }
+    {
+        PyObject *res = PyList_New(k);
+        if (!res) goto fail;
+        for (Py_ssize_t j = 0; j < k; j++) {
+            PyObject *b = PyBytes_FromStringAndSize(
+                (const char *)jobs[j].out, (Py_ssize_t)jobs[j].nseg * 64);
+            if (!b) { Py_DECREF(res); goto fail; }
+            PyList_SET_ITEM(res, j, b);
+        }
+        for (Py_ssize_t j = 0; j < k; j++) {
+            free(jobs[j].buf); free(jobs[j].ends); free(jobs[j].out);
+        }
+        free(jobs);
+        return res;
+    }
+fail:
+    for (Py_ssize_t j = 0; j < k; j++) {
+        free(jobs[j].buf); free(jobs[j].ends); free(jobs[j].out);
+    }
+    free(jobs);
+    return NULL;
+}
+
 
 /* fixed_base_powers(ctx, gx32, gy32, scalars n*32 raw LE)
  * -> bytes n*(32+32+1): affine x, y, inf per point (g * s_i each).
@@ -1281,6 +1579,8 @@ static PyMethodDef methods[] = {
     {"final_exp", py_final_exp, METH_VARARGS, "final exponentiation"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
     {"keccak256", py_keccak256, METH_VARARGS, "Keccak-256 (eth padding)"},
+    {"challenge_chain", py_challenge_chain, METH_VARARGS,
+     "Solidity-transcript challenge chains, batched + threaded"},
     {"fixed_base_powers", py_fixed_base_powers, METH_VARARGS, "g*s_i batch (SRS gen)"},
     {NULL, NULL, 0, NULL},
 };

@@ -128,3 +128,31 @@ def test_chunked_quotient_bit_equal(monkeypatch):
     p2 = s2.prove(cs, pk2, rng=random.Random(1), mask=True)
     assert p1 == p2
     s2.verify(vk2, cs.public_input(), p2)
+
+
+def test_batch_verify_native_chain_parity(setup):
+    """compute_challenges_batch (native keccak chain) must equal the pure
+    Python per-proof transcript hashing bit-for-bit, and batch_verify must
+    accept a good batch / reject a tampered member."""
+    from mpc_jellyfish_tpu.plonk.verifier import Verifier
+    from mpc_jellyfish_tpu.plonk.structs import BatchProof
+
+    cs, snark, pk, vk = setup
+    extras = [None, b"hello", None]
+    proofs = [snark.prove(cs, pk, rng=random.Random(100 + i), mask=True,
+                          extra_transcript_init_msg=e)
+              for i, e in enumerate(extras)]
+    jobs = [([vk], [cs.public_input()], BatchProof.from_proof(p), e)
+            for p, e in zip(proofs, extras)]
+    v = Verifier(curve, vk.domain_size, snark.transcript_cls)
+    batch = v.compute_challenges_batch(jobs)
+    for ch, job in zip(batch, jobs):
+        assert ch == v.compute_challenges(*job)
+
+    vks = [vk] * 3
+    pis = [cs.public_input()] * 3
+    assert snark.batch_verify(vks, pis, proofs, extras)
+    bad = list(proofs)
+    bad[1] = proofs[0]  # wrong extra-msg pairing for slot 1
+    with pytest.raises(WrongProof):
+        snark.batch_verify(vks, pis, bad, extras)
