@@ -8,7 +8,7 @@ Baseline: reference TurboPlonk BN254 proving at 23,069 ns/constraint on a
 24-thread AMD 5900X (BASELINE.md; reference bench.md:14-17).
 vs_baseline > 1.0 means faster than the reference CPU implementation.
 
-Env knobs: BENCH_LOG_N (default 12), BENCH_REPS (default 3).
+Env knobs: BENCH_LOG_N (default 16), BENCH_REPS (default 3).
 Progress goes to stderr; stdout carries only the JSON line.
 """
 
@@ -107,7 +107,12 @@ def bench_size(curve, log_n: int, reps: int, srs=None):
     snark = PlonkKzgSnark(curve)
     if srs is None or srs.max_degree < cs.srs_size():
         t0 = time.time()
-        cache_dir = os.path.expanduser("~/.cache/mpc_jellyfish_tpu_srs")
+        # repo-local: survives environment resets (a wiped $HOME cost the
+        # round-3 driver run a 250s SRS regeneration at 2^16)
+        cache_dir = os.environ.get(
+            "MPC_JELLYFISH_TPU_SRS_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".srs_cache"))
         os.makedirs(cache_dir, exist_ok=True)
         path = os.path.join(cache_dir,
                             f"{curve.name}-{cs.srs_size()}-s3.npz")
@@ -247,7 +252,7 @@ def bench_merkle_path(height: int, reps: int):
 
 
 def main():
-    log_n = int(os.environ.get("BENCH_LOG_N", "14"))
+    log_n = int(os.environ.get("BENCH_LOG_N", "16"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     curve_name = os.environ.get("BENCH_CURVE", "bn254")
     sweep = os.environ.get("BENCH_SWEEP", "")

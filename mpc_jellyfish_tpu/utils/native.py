@@ -175,29 +175,33 @@ def _f2_pow(p: int, beta: int, base: tuple, e: int) -> tuple:
     return r
 
 
-def multi_pairing(curve, g1s, g2s):
-    """prod_i e(P_i, Q_i) as a Python f12 tuple, or None (fallback)."""
-    got = _get_ctx(curve)
-    if got is None:
-        return None
-    mod, ctx = got
+_PAIR_CONST: dict = {}
+
+
+def _pairing_constants(curve, mod):
+    """Per-curve Miller/final-exp constants (cached: the psi-map Frobenius
+    constants cost two 254-bit Fq2 exponentiations in host Python — ~2.5 ms
+    per multi_pairing call when recomputed)."""
+    cached = _PAIR_CONST.get(curve.name)
+    if cached is not None:
+        return cached
     from .. import pairing as PR
-    from . import fq_tower as T
     x = curve.x_param
     if curve.name == "bn254":
         kind, s = 2, 6 * x + 2
     elif curve.name.startswith("bls12"):
         kind, s = (1 if x < 0 else 0), abs(x)
     else:
+        _PAIR_CONST[curve.name] = None
         return None
     sbits = bytes(int(b) for b in bin(s)[2:])
     use_twist = (hasattr(mod, "miller_twist")
                  and os.environ.get("MPC_JELLYFISH_OLD_MILLER", "") != "1")
+    m_twist, b2b, frob = 0, b"", b""
     if use_twist:
         p = curve.fq.p
         m_twist = 1 if PR._twist_type(curve) == "M" else 0
         b2b = _i2b(curve.b2[0] % p) + _i2b(curve.b2[1] % p)
-        frob = b""
         if kind == 2:
             # psi-map Frobenius constants for the BN last two add steps:
             # pi(psi(x,y)) = psi(conj(x) A1, conj(y) B1), A1 = xi^((p-1)/3),
@@ -207,6 +211,24 @@ def multi_pairing(curve, g1s, g2s):
             a1 = _f2_pow(p, beta, xi, (p - 1) // 3)
             b1 = _f2_pow(p, beta, xi, (p - 1) // 2)
             frob = _i2b(a1[0]) + _i2b(a1[1]) + _i2b(b1[0]) + _i2b(b1[1])
+    db = b"".join(_i2b(d) for d in PR._hard_part_digits(curve))
+    out = (kind, sbits, use_twist, m_twist, b2b, frob, db)
+    _PAIR_CONST[curve.name] = out
+    return out
+
+
+def multi_pairing(curve, g1s, g2s):
+    """prod_i e(P_i, Q_i) as a Python f12 tuple, or None (fallback)."""
+    got = _get_ctx(curve)
+    if got is None:
+        return None
+    mod, ctx = got
+    from .. import pairing as PR
+    from . import fq_tower as T
+    consts = _pairing_constants(curve, mod)
+    if consts is None:
+        return None
+    kind, sbits, use_twist, m_twist, b2b, frob, db = consts
     f_acc = None
     for P, Q in zip(g1s, g2s):
         if P.inf or Q.inf:
@@ -223,9 +245,14 @@ def multi_pairing(curve, g1s, g2s):
         f_acc = fb if f_acc is None else mod.f12_mul(ctx, f_acc, fb)
     if f_acc is None:
         return T.F12_ONE
-    digits = PR._hard_part_digits(curve)
-    db = b"".join(_i2b(d) for d in digits)
-    out = mod.final_exp(ctx, f_acc, db)
+    if kind == 2 and hasattr(mod, "final_exp_bn"):
+        # BN x-chain hard part (Devegili et al.; ~3x fewer f12 ops than the
+        # base-p multi-exp) with cyclotomic squarings
+        x = curve.x_param
+        xb = bytes(int(b) for b in bin(abs(x))[2:])
+        out = mod.final_exp_bn(ctx, f_acc, xb, 1 if x < 0 else 0)
+    else:
+        out = mod.final_exp(ctx, f_acc, db)
     return _f12_from_bytes(out)
 
 
