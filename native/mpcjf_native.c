@@ -32,6 +32,7 @@ typedef struct {
     fe beta;               /* u^2 = beta (Fq2), Montgomery */
     fe xi[2];              /* v^3 = xi (Fq6 over Fq2), Montgomery */
     fe frob[6][2];         /* gamma_j = xi^{j(p-1)/6} (Fq2), Montgomery */
+    int beta_m1;           /* 1 when beta == -1 (BN254/BLS12-381 Fq2) */
 } fctx;
 
 /* ---------------- fe core ---------------- */
@@ -469,17 +470,36 @@ static void f2_conj(const fctx *c, f2 *o, const f2 *a) {
     fe_neg(c, &o->c1, &a->c1);
 }
 static void f2_mul(const fctx *c, f2 *o, const f2 *a, const f2 *b) {
-    fe t0, t1, t2, t3;
+    /* Karatsuba: 3 base muls (+1 beta scale unless beta = -1) */
+    fe t0, t1, sa, sb, m;
     fe_mul(c, &t0, &a->c0, &b->c0);
     fe_mul(c, &t1, &a->c1, &b->c1);
-    fe_mul(c, &t2, &a->c0, &b->c1);
-    fe_mul(c, &t3, &a->c1, &b->c0);
-    fe bb;
-    fe_mul(c, &bb, &t1, &c->beta);
-    fe_add(c, &o->c0, &t0, &bb);
-    fe_add(c, &o->c1, &t2, &t3);
+    fe_add(c, &sa, &a->c0, &a->c1);
+    fe_add(c, &sb, &b->c0, &b->c1);
+    fe_mul(c, &m, &sa, &sb);
+    fe_sub(c, &m, &m, &t0);
+    fe_sub(c, &o->c1, &m, &t1);
+    if (c->beta_m1) {
+        fe_sub(c, &o->c0, &t0, &t1);
+    } else {
+        fe bb;
+        fe_mul(c, &bb, &t1, &c->beta);
+        fe_add(c, &o->c0, &t0, &bb);
+    }
 }
-static void f2_sqr(const fctx *c, f2 *o, const f2 *a) { f2_mul(c, o, a, a); }
+static void f2_sqr(const fctx *c, f2 *o, const f2 *a) {
+    if (c->beta_m1) {
+        /* complex squaring: (a0+a1)(a0-a1), 2 a0 a1 -- 2 base muls */
+        fe s, d, m;
+        fe_add(c, &s, &a->c0, &a->c1);
+        fe_sub(c, &d, &a->c0, &a->c1);
+        fe_mul(c, &m, &a->c0, &a->c1);
+        fe_mul(c, &o->c0, &s, &d);
+        fe_add(c, &o->c1, &m, &m);
+        return;
+    }
+    f2_mul(c, o, a, a);
+}
 static void f2_inv(const fctx *c, f2 *o, const f2 *a) {
     /* 1/(a0 + a1 u) = (a0 - a1 u)/(a0^2 - beta a1^2) */
     fe t0, t1, d;
@@ -654,6 +674,64 @@ static void f12_frobenius(const fctx *c, f12 *o, const f12 *a, int n) {
     *o = cur;
 }
 
+/* Granger-Scott cyclotomic squaring: valid for f in the cyclotomic
+ * subgroup G_{Phi_6}(q^2) (i.e. after the easy part of the final
+ * exponentiation).  Fq12 = Fq4 + Fq4 w + Fq4 w^2 with Fq4 = Fq2[W],
+ * W = w^3, W^2 = xi; the three Fq4 pairs in tower coordinates are
+ * (c0.c0, c1.c1), (c1.c0, c0.c2), (c0.c1, c1.c2).  9 Fq2 squarings
+ * vs 12+ Fq2 muls for a generic f12_sqr. */
+static void fp4_sqr(const fctx *c, f2 *o0, f2 *o1, const f2 *z0,
+                    const f2 *z1) {
+    f2 t0, t1, s;
+    f2_sqr(c, &t0, z0);
+    f2_sqr(c, &t1, z1);
+    f2_add(c, &s, z0, z1);
+    f2_sqr(c, &s, &s);
+    f2_mul_xi(c, o0, &t1);
+    f2_add(c, o0, o0, &t0);
+    f2_sub(c, &s, &s, &t0);
+    f2_sub(c, o1, &s, &t1);
+}
+
+static void f12_cyclo_sqr(const fctx *c, f12 *o, const f12 *a) {
+    const f2 *r0 = &a->c0.c0, *r1 = &a->c1.c1;
+    const f2 *r2 = &a->c1.c0, *r3 = &a->c0.c2;
+    const f2 *r4 = &a->c0.c1, *r5 = &a->c1.c2;
+    f2 t0, t1, t2, t3, t4, t5, x;
+    fp4_sqr(c, &t0, &t1, r0, r1);
+    fp4_sqr(c, &t2, &t3, r2, r3);
+    fp4_sqr(c, &t4, &t5, r4, r5);
+    /* z = 3t - 2r for c0 components, 3t + 2r for c1 components */
+    f2_sub(c, &x, &t0, r0); f2_add(c, &x, &x, &x);
+    f2_add(c, &o->c0.c0, &x, &t0);
+    f2_add(c, &x, &t1, r1); f2_add(c, &x, &x, &x);
+    f2_add(c, &o->c1.c1, &x, &t1);
+    f2_sub(c, &x, &t2, r4); f2_add(c, &x, &x, &x);
+    f2_add(c, &o->c0.c1, &x, &t2);
+    f2_add(c, &x, &t3, r5); f2_add(c, &x, &x, &x);
+    f2_add(c, &o->c1.c2, &x, &t3);
+    f2 xt5;
+    f2_mul_xi(c, &xt5, &t5);
+    f2_add(c, &x, &xt5, r2); f2_add(c, &x, &x, &x);
+    f2_add(c, &o->c1.c0, &x, &xt5);
+    f2_sub(c, &x, &t4, r3); f2_add(c, &x, &x, &x);
+    f2_add(c, &o->c0.c2, &x, &t4);
+}
+
+/* f^e for e given MSB-first as 0/1 bytes, cyclotomic squarings (caller
+ * guarantees f is in the cyclotomic subgroup) */
+static void f12_cyclo_exp_bits(const fctx *c, f12 *o, const f12 *f,
+                               const uint8_t *bits, Py_ssize_t nbits) {
+    f12 acc = *f;
+    for (Py_ssize_t i = 1; i < nbits; i++) {
+        f12 s;
+        f12_cyclo_sqr(c, &s, &acc);
+        if (bits[i]) f12_mul(c, &acc, &s, f);
+        else acc = s;
+    }
+    *o = acc;
+}
+
 /* ---------------- ate Miller loop (Fq12 coordinates) ---------------- */
 
 /* line through T (affine f12 pair) with slope lam, evaluated at (xP, yP):
@@ -814,6 +892,11 @@ static PyObject *py_ctx_new(PyObject *self, PyObject *args) {
     }
     c->r2 = r;
     fe_from_bytes(c, &c->beta, (const uint8_t *)betab.buf);
+    {   /* beta == -1 enables complex Fq2 mul/sqr shortcuts */
+        fe negone;
+        fe_neg(c, &negone, &c->one);
+        c->beta_m1 = memcmp(&c->beta, &negone, sizeof negone) == 0;
+    }
     fe_from_bytes(c, &c->xi[0], (const uint8_t *)xib.buf);
     fe_from_bytes(c, &c->xi[1], (const uint8_t *)xib.buf + 32);
     for (int j = 0; j < 6; j++) {
@@ -1210,7 +1293,7 @@ static PyObject *py_final_exp(PyObject *self, PyObject *args) {
     f12_one(c, &acc);
     for (int bit = maxbit - 1; bit >= 0; bit--) {
         f12 s;
-        f12_sqr(c, &s, &acc);
+        f12_cyclo_sqr(c, &s, &acc);   /* acc stays cyclotomic */
         acc = s;
         for (int i = 0; i < k; i++) {
             if ((digits[i * 32 + bit / 8] >> (bit % 8)) & 1) {
@@ -1224,6 +1307,100 @@ static PyObject *py_final_exp(PyObject *self, PyObject *args) {
     f12_to_bytes(c, out, &acc);
     PyBuffer_Release(&fb);
     PyBuffer_Release(&db);
+    return PyBytes_FromStringAndSize((const char *)out, 768);
+}
+
+/* final_exp_bn(ctx, f 768B, xbits 0/1 MSB-first, x_neg) -> 768B.
+ * BN-family final exponentiation with the Devegili et al. x-chain hard
+ * part (the ark-bn254 chain) and Granger-Scott cyclotomic squarings:
+ * ~3x fewer f12 ops than the generic base-p multi-exp in py_final_exp. */
+static PyObject *py_final_exp_bn(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer fb, xb;
+    int x_neg;
+    if (!PyArg_ParseTuple(args, "Oy*y*i", &cap, &fb, &xb, &x_neg))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    if (fb.len != 768 || xb.len < 1) {
+        PyErr_SetString(PyExc_ValueError, "final_exp_bn: bad buffer sizes");
+        PyBuffer_Release(&fb);
+        PyBuffer_Release(&xb);
+        return NULL;
+    }
+    f12 f;
+    f12_from_bytes(c, &f, (const uint8_t *)fb.buf);
+    /* easy: r = frob^2(conj(f) * inv(f)) * (conj(f) * inv(f)) */
+    f12 fi, fc, m, r;
+    f12_inv(c, &fi, &f);
+    f12_conj(c, &fc, &f);
+    f12_mul(c, &m, &fc, &fi);
+    f12_frobenius(c, &r, &m, 2);
+    f12_mul(c, &r, &r, &m);
+    /* hard part, EXACT (matches f^((q^4-q^2+1)/r), not the
+     * Fuentes-Castaneda multiple): base-q decomposition
+     *   hard = q^3 + (6x^2+1) q^2 + (-36x^3-18x^2-12x+1) q
+     *          + (-36x^3-30x^2-18x-2)
+     * (verified as an integer identity for the BN parametrization).
+     * exp_by_x(g) = g^x with x's sign honored via conjugation. */
+    const uint8_t *bits = (const uint8_t *)xb.buf;
+    Py_ssize_t nb = xb.len;
+#define EXP_BY_X(dst, src) do { \
+        f12_cyclo_exp_bits(c, &(dst), &(src), bits, nb); \
+        if (x_neg) f12_conj(c, &(dst), &(dst)); \
+    } while (0)
+    f12 fx, fx2, fx3, t, u;
+    EXP_BY_X(fx, r);              /* f^x   */
+    EXP_BY_X(fx2, fx);            /* f^x^2 */
+    EXP_BY_X(fx3, fx2);           /* f^x^3 */
+    f12 f6x2, f36x3, f18x2, f30x2, f12x, f6x, f18x, ff2;
+    /* f^{6x^2}: sqr, *fx2, sqr */
+    f12_cyclo_sqr(c, &t, &fx2);
+    f12_mul(c, &t, &t, &fx2);
+    f12_cyclo_sqr(c, &f6x2, &t);
+    /* f^{36x^3}: 3x^3, 6x^3, 18x^3, 36x^3 */
+    f12_cyclo_sqr(c, &t, &fx3);
+    f12_mul(c, &t, &t, &fx3);           /* 3x^3 */
+    f12_cyclo_sqr(c, &t, &t);           /* 6x^3 */
+    f12_cyclo_sqr(c, &u, &t);           /* 12x^3 */
+    f12_mul(c, &u, &u, &t);             /* 18x^3 */
+    f12_cyclo_sqr(c, &f36x3, &u);       /* 36x^3 */
+    /* f^{18x^2} = f^{12x^2} * f^{6x^2}; f^{30x^2} = f^{18x^2} * f^{12x^2} */
+    f12_cyclo_sqr(c, &t, &f6x2);        /* 12x^2 */
+    f12_mul(c, &f18x2, &t, &f6x2);
+    f12_mul(c, &f30x2, &f18x2, &t);
+    /* f^{12x} = f^{8x} * f^{4x}; f^{6x} = f^{4x} * f^{2x};
+     * f^{18x} = f^{12x} * f^{6x} */
+    f12_cyclo_sqr(c, &t, &fx);          /* 2x */
+    f12_cyclo_sqr(c, &u, &t);           /* 4x */
+    f12_mul(c, &f6x, &u, &t);           /* 6x */
+    f12_cyclo_sqr(c, &t, &u);           /* 8x */
+    f12_mul(c, &f12x, &t, &u);          /* 12x */
+    f12_mul(c, &f18x, &f12x, &f6x);
+    f12_cyclo_sqr(c, &ff2, &r);         /* f^2 */
+    /* p2 = f^{6x^2+1}; p1 = f^{-36x^3-18x^2-12x+1};
+     * p0 = f^{-36x^3-30x^2-18x-2} */
+    f12 p2, p1, p0;
+    f12_mul(c, &p2, &f6x2, &r);
+    f12_mul(c, &p1, &f36x3, &f18x2);
+    f12_mul(c, &p1, &p1, &f12x);
+    f12_conj(c, &p1, &p1);
+    f12_mul(c, &p1, &p1, &r);
+    f12_mul(c, &p0, &f36x3, &f30x2);
+    f12_mul(c, &p0, &p0, &f18x);
+    f12_mul(c, &p0, &p0, &ff2);
+    f12_conj(c, &p0, &p0);
+    /* result = frob^3(f) * frob^2(p2) * frob(p1) * p0 */
+    f12_frobenius(c, &t, &r, 3);
+    f12_frobenius(c, &u, &p2, 2);
+    f12_mul(c, &t, &t, &u);
+    f12_frobenius(c, &u, &p1, 1);
+    f12_mul(c, &t, &t, &u);
+    f12_mul(c, &t, &t, &p0);
+#undef EXP_BY_X
+    uint8_t out[768];
+    f12_to_bytes(c, out, &t);
+    PyBuffer_Release(&fb);
+    PyBuffer_Release(&xb);
     return PyBytes_FromStringAndSize((const char *)out, 768);
 }
 
@@ -1577,6 +1754,8 @@ static PyMethodDef methods[] = {
      "ate Miller loop (projective twist-side, no inversions)"},
     {"f12_mul", py_f12_mul, METH_VARARGS, "Fq12 multiply"},
     {"final_exp", py_final_exp, METH_VARARGS, "final exponentiation"},
+    {"final_exp_bn", py_final_exp_bn, METH_VARARGS,
+     "BN final exponentiation (x-chain hard part)"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
     {"keccak256", py_keccak256, METH_VARARGS, "Keccak-256 (eth padding)"},
     {"challenge_chain", py_challenge_chain, METH_VARARGS,

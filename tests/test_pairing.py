@@ -49,3 +49,29 @@ def test_kzg_style_check(curve):
     assert PR.pairing_check(curve, [sP, negP], [G2, sQ])
     # and a wrong statement fails
     assert not PR.pairing_check(curve, [sP, G1], [G2, sQ])
+
+
+@pytest.mark.parametrize("curve", [BN254, BLS12_381], ids=lambda c: c.name)
+def test_native_multi_pairing_matches_python_oracle(curve):
+    """Exact-value parity of the native C multi_pairing (Karatsuba Fq2,
+    cyclotomic squarings, BN x-chain final exp) against the pure-Python
+    tower: catches any final-exponentiation/Granger-Scott formula slip
+    that a product==1 check could miss."""
+    from mpc_jellyfish_tpu.utils import native as NV
+    G1 = H.AffinePoint(*curve.g1_gen)
+    G2 = PR.g2_generator(curve)
+    pts1, pts2 = [], []
+    for _ in range(2):
+        a = rng.randrange(1, curve.fr.p)
+        b = rng.randrange(1, curve.fr.p)
+        pts1.append(H.ec_mul(curve.fq.p, G1, a))
+        pts2.append(PR.g2_mul(curve, G2, b))
+    got = NV.multi_pairing(curve, pts1, pts2)
+    if got is None:
+        pytest.skip("native runtime unavailable")
+    p, xi = curve.fq.p, PR._xi(curve)
+    f = T.F12_ONE
+    for P, Q in zip(pts1, pts2):
+        f = T.f12_mul(p, xi, f, PR._ate_miller_full(curve, P, Q))
+    want = PR.final_exponentiation(curve, f)
+    assert got == want
