@@ -404,10 +404,14 @@ class PlonkKzgSnark:
         # Fiat-Shamir chains for the whole batch at once (native keccak,
         # pthread-parallel); falls back to per-proof hashing without C.
         challenges_list = verifiers[0].compute_challenges_batch(jobs)
-        pcs_infos = [
-            verifier.pcs_info_with_challenges(ch, vks_i, pis_i, bp)
-            for verifier, ch, (vks_i, pis_i, bp, _) in zip(
-                verifiers, challenges_list, jobs)]
+        # batched native scalar path (Turbo single-vk); per-proof fallback
+        pcs_infos = verifiers[0].pcs_infos_with_challenges_batch(
+            challenges_list, jobs)
+        if pcs_infos is None:
+            pcs_infos = [
+                verifier.pcs_info_with_challenges(ch, vks_i, pis_i, bp)
+                for verifier, ch, (vks_i, pis_i, bp, _) in zip(
+                    verifiers, challenges_list, jobs)]
         if not Verifier.batch_verify_opening_proofs(
                 self.curve, vks[0].open_key, pcs_infos):
             raise WrongProof("proof verification failed")

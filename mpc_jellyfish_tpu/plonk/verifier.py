@@ -423,6 +423,75 @@ class Verifier:
             shifted_opening_proof=batch_proof.shifted_opening_proof,
         )
 
+    def pcs_infos_with_challenges_batch(self, challenges_list, jobs):
+        """Batched pcs_info via the C runtime (native pcs_scalars_batch):
+        the per-proof verifier field math of pcs_info_with_challenges for
+        the TurboPlonk single-vk case, with one shared Montgomery batch
+        inversion across all proofs.  Returns None when ineligible (plookup,
+        merged circuits, heterogeneous vks/domains, no native runtime) —
+        the caller falls back to the per-proof Python path, which this path
+        is pinned against in tests/test_serialize.py::test_native_pcs_scalars_parity."""
+        from ..utils import native
+        if not jobs:
+            return []
+        vk0 = jobs[0][0][0]
+        npi = len(jobs[0][1][0])
+        for (vks_i, pis_i, bp, _x) in jobs:
+            if len(vks_i) != 1 or len(pis_i) != 1:
+                return None
+            vk = vks_i[0]
+            if (vk.plookup_vk is not None or getattr(vk, "is_merged", False)
+                    or vk.domain_size != self.n
+                    or list(vk.k) != list(vk0.k)
+                    or len(vk.selector_comms) != 13
+                    or bp.plookup_proofs_vec[0] is not None
+                    or len(bp.wires_poly_comms_vec[0]) != 5
+                    or len(bp.poly_evals_vec[0].wire_sigma_evals) != 4
+                    or len(bp.split_quot_poly_comms) != 5
+                    or len(pis_i[0]) != npi):
+                return None
+        p = self.p
+        buf = bytearray()
+        for ch, (vks_i, pis_i, bp, _x) in zip(challenges_list, jobs):
+            ev = bp.poly_evals_vec[0]
+            vals = [ch.tau, ch.beta, ch.gamma, ch.alpha, ch.zeta, ch.v, ch.u]
+            vals += list(ev.wires_evals) + list(ev.wire_sigma_evals)
+            vals.append(ev.perm_next_eval)
+            vals += [int(x) % p for x in pis_i[0]]
+            for v_ in vals:
+                buf += int(v_).to_bytes(32, "little")
+        rows = native.pcs_scalars_batch(
+            p, vk0.k, self.n.bit_length() - 1, self.group_gen, npi,
+            bytes(buf))
+        if rows is None:
+            return None
+        infos = []
+        for row, ch, (vks_i, pis_i, bp, _x) in zip(rows, challenges_list,
+                                                   jobs):
+            vk = vks_i[0]
+            sb = ScalarsAndBases()
+            sb.push(row[0], bp.prod_perm_poly_comms_vec[0])
+            sb.push(row[1], vk.sigma_comms[-1])
+            for sc, comm in zip(row[2:15], vk.selector_comms):
+                sb.push(sc, comm)
+            for sc, comm in zip(row[15:20], bp.split_quot_poly_comms):
+                sb.push(sc, comm)
+            for sc, comm in zip(row[20:25], bp.wires_poly_comms_vec[0]):
+                sb.push(sc, comm)
+            for sc, comm in zip(row[25:29], vk.sigma_comms[:4]):
+                sb.push(sc, comm)
+            sb.push(ch.u, bp.prod_perm_poly_comms_vec[0])
+            infos.append(PcsInfo(
+                u=ch.u,
+                eval_point=ch.zeta,
+                next_eval_point=ch.zeta * self.group_gen % p,
+                eval=row[29],
+                comm_scalars_and_bases=sb,
+                opening_proof=bp.opening_proof,
+                shifted_opening_proof=bp.shifted_opening_proof,
+            ))
+        return infos
+
     @staticmethod
     def batch_verify_opening_proofs(curve: CurveSpec, open_key, pcs_infos) -> bool:
         """verifier.rs:195-251."""

@@ -124,6 +124,25 @@ def msm(p: int, points, scalars):
     return AffinePoint(_b2i(out[:32]), _b2i(out[32:64]))
 
 
+def pcs_scalars_batch(fr_p: int, k, log_n: int, gen: int, npi: int,
+                      jobs_bytes: bytes):
+    """Batched TurboPlonk verifier scalars (C runtime), or None (fallback).
+
+    jobs_bytes: per proof [tau, beta, gamma, alpha, zeta, v, u, w0..w4,
+    s0..s3, perm_next, pi...] as 32B LE field elements.  Returns per proof
+    30 ints: [prod_perm, last_sigma, q0..q12, quot0..quot4, v^1..v^9, eval].
+    """
+    got = _get_fr_ctx(fr_p)
+    if got is None or not hasattr(got[0], "pcs_scalars_batch"):
+        return None
+    mod, ctx = got
+    kb = b"".join(_i2b(int(x)) for x in k)
+    out = mod.pcs_scalars_batch(ctx, kb, log_n, _i2b(gen), npi, jobs_bytes)
+    n_f = len(out) // 32
+    vals = [_b2i(out[i * 32:(i + 1) * 32]) for i in range(n_f)]
+    return [vals[i * 30:(i + 1) * 30] for i in range(n_f // 30)]
+
+
 def challenge_chain(batches):
     """Batched Solidity-transcript challenge chains.
 

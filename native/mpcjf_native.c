@@ -1404,6 +1404,209 @@ static PyObject *py_final_exp_bn(PyObject *self, PyObject *args) {
     return PyBytes_FromStringAndSize((const char *)out, 768);
 }
 
+/* pcs_scalars_batch(ctx_fr, k 5*32B, log_n, gen 32B, npi, jobs) -> bytes
+ *
+ * Batch TurboPlonk verifier scalar computation (the per-proof host math of
+ * plonk/verifier.py pcs_info_with_challenges, single-vk no-plookup case;
+ * reference verifier.rs:340-668).  jobs carries, per proof, 17+npi field
+ * elements (32B LE each):
+ *   [tau, beta, gamma, alpha, zeta, v, u,
+ *    w0..w4, sigma0..sigma3, perm_next, pi_0..pi_{npi-1}]
+ * Returns per proof 30 field elements:
+ *   [prod_perm_coeff, last_sigma_coeff, q0..q12, quot0..quot4,
+ *    v^1..v^9, aggregated_eval]
+ * Inverses (1 + npi per proof) use one shared Montgomery batch inversion. */
+static PyObject *py_pcs_scalars_batch(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer kb, gb, jb;
+    int log_n, npi;
+    if (!PyArg_ParseTuple(args, "Oy*iy*iy*", &cap, &kb, &log_n, &gb, &npi,
+                          &jb))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    const int IN_F = 17 + npi;
+    if (kb.len != 5 * 32 || gb.len != 32 || log_n < 1 || log_n > 40
+        || npi < 0 || jb.len % (IN_F * 32) != 0) {
+        PyErr_SetString(PyExc_ValueError, "pcs_scalars_batch: bad buffers");
+        PyBuffer_Release(&kb); PyBuffer_Release(&gb); PyBuffer_Release(&jb);
+        return NULL;
+    }
+    const Py_ssize_t np = jb.len / (IN_F * 32);
+    const uint8_t *jobs = (const uint8_t *)jb.buf;
+    fe k[5], gen;
+    for (int i = 0; i < 5; i++)
+        fe_from_bytes(c, &k[i], (const uint8_t *)kb.buf + i * 32);
+    fe_from_bytes(c, &gen, (const uint8_t *)gb.buf);
+    /* n and n^{-1} as field elements (n = 2^log_n) */
+    fe n_fe = c->one;
+    for (int i = 0; i < log_n; i++) fe_add(c, &n_fe, &n_fe, &n_fe);
+    fe n_inv;
+    fe_inv(c, &n_inv, &n_fe);
+    /* g^i table for public inputs */
+    fe *gpow = (fe *)malloc(sizeof(fe) * (npi > 0 ? npi : 1));
+    if (!gpow) { PyBuffer_Release(&kb); PyBuffer_Release(&gb);
+                 PyBuffer_Release(&jb); return PyErr_NoMemory(); }
+    gpow[0] = c->one;
+    for (int i = 1; i < npi; i++) fe_mul(c, &gpow[i], &gpow[i - 1], &gen);
+
+    const int ND = 1 + npi;       /* denominators per proof */
+    fe *den = (fe *)malloc(sizeof(fe) * ND * np);
+    fe *pref = (fe *)malloc(sizeof(fe) * (ND * np + 1));
+    fe *zeta_n = (fe *)malloc(sizeof(fe) * np);   /* zeta^n */
+    uint8_t *out = (uint8_t *)malloc((size_t)np * 30 * 32);
+    if (!den || !pref || !zeta_n || !out) {
+        free(gpow); free(den); free(pref); free(zeta_n); free(out);
+        PyBuffer_Release(&kb); PyBuffer_Release(&gb); PyBuffer_Release(&jb);
+        return PyErr_NoMemory();
+    }
+    Py_BEGIN_ALLOW_THREADS
+    /* pass 1: denominators  d0 = n(zeta-1), d_{1+i} = zeta - g^i */
+    for (Py_ssize_t pi_ = 0; pi_ < np; pi_++) {
+        const uint8_t *in = jobs + pi_ * IN_F * 32;
+        fe zeta, t;
+        fe_from_bytes(c, &zeta, in + 4 * 32);
+        fe *d = den + pi_ * ND;
+        fe_sub(c, &t, &zeta, &c->one);
+        fe_mul(c, &d[0], &t, &n_fe);
+        for (int i = 0; i < npi; i++)
+            fe_sub(c, &d[1 + i], &zeta, &gpow[i]);
+        fe zn = zeta;
+        for (int i = 0; i < log_n; i++) fe_mul(c, &zn, &zn, &zn);
+        zeta_n[pi_] = zn;
+    }
+    /* shared Montgomery batch inversion (zero entries pass through as
+     * zero-products; vanish==0 cannot occur for Fiat-Shamir zeta) */
+    pref[0] = c->one;
+    for (Py_ssize_t i = 0; i < ND * np; i++)
+        fe_mul(c, &pref[i + 1], &pref[i], &den[i]);
+    fe inv_all;
+    fe_inv(c, &inv_all, &pref[ND * np]);
+    for (Py_ssize_t i = ND * np - 1; i >= 0; i--) {
+        fe di;
+        fe_mul(c, &di, &pref[i], &inv_all);
+        fe_mul(c, &inv_all, &inv_all, &den[i]);
+        den[i] = di;                     /* den now holds the inverses */
+    }
+    /* pass 2: scalars */
+    for (Py_ssize_t pi_ = 0; pi_ < np; pi_++) {
+        const uint8_t *in = jobs + pi_ * IN_F * 32;
+        fe ch[7], w[5], se[4], perm_next;
+        for (int i = 0; i < 7; i++) fe_from_bytes(c, &ch[i], in + i * 32);
+        for (int i = 0; i < 5; i++) fe_from_bytes(c, &w[i], in + (7 + i) * 32);
+        for (int i = 0; i < 4; i++) fe_from_bytes(c, &se[i], in + (12 + i) * 32);
+        fe_from_bytes(c, &perm_next, in + 16 * 32);
+        const fe *beta = &ch[1], *gamma = &ch[2], *alpha = &ch[3],
+                 *zeta = &ch[4], *v = &ch[5], *u = &ch[6];
+        const fe *dinv = den + pi_ * ND;
+        fe vanish, alpha2, l1, t, t2;
+        fe_sub(c, &vanish, &zeta_n[pi_], &c->one);
+        fe_mul(c, &alpha2, alpha, alpha);
+        fe_mul(c, &l1, &vanish, &dinv[0]);
+        /* pi_eval = sum (vanish/n) g^i (zeta-g^i)^{-1} pi_i */
+        fe vdn, pi_eval;
+        fe_mul(c, &vdn, &vanish, &n_inv);
+        memset(&pi_eval, 0, sizeof pi_eval);
+        for (int i = 0; i < npi; i++) {
+            fe pe;
+            fe_from_bytes(c, &pe, in + (17 + i) * 32);
+            fe_mul(c, &t, &vdn, &gpow[i]);
+            fe_mul(c, &t, &t, &dinv[1 + i]);
+            fe_mul(c, &t, &t, &pe);
+            fe_add(c, &pi_eval, &pi_eval, &t);
+        }
+        /* lin_const = pi_eval - alpha^2 l1
+         *             - alpha perm_next (gamma+w4) prod(gamma+w_i+beta se_i) */
+        fe acc, lin_const;
+        fe_mul(c, &acc, alpha, &perm_next);
+        fe_add(c, &t, gamma, &w[4]);
+        fe_mul(c, &acc, &acc, &t);
+        for (int i = 0; i < 4; i++) {
+            fe_mul(c, &t, beta, &se[i]);
+            fe_add(c, &t, &t, gamma);
+            fe_add(c, &t, &t, &w[i]);
+            fe_mul(c, &acc, &acc, &t);
+        }
+        fe_mul(c, &t, &alpha2, &l1);
+        fe_sub(c, &lin_const, &pi_eval, &t);
+        fe_sub(c, &lin_const, &lin_const, &acc);
+        uint8_t *op = out + pi_ * 30 * 32;
+        /* s0: prod_perm = alpha^2 l1 + alpha prod(beta k_i zeta + gamma + w_i) */
+        fe s0 = *alpha;
+        for (int i = 0; i < 5; i++) {
+            fe_mul(c, &t, beta, &k[i]);
+            fe_mul(c, &t, &t, zeta);
+            fe_add(c, &t, &t, gamma);
+            fe_add(c, &t, &t, &w[i]);
+            fe_mul(c, &s0, &s0, &t);
+        }
+        fe_mul(c, &t, &alpha2, &l1);
+        fe_add(c, &s0, &s0, &t);
+        fe_to_bytes(c, op, &s0);
+        /* s1: last sigma = -(alpha beta perm_next prod(beta se_i+gamma+w_i)) */
+        fe s1;
+        fe_mul(c, &s1, alpha, beta);
+        fe_mul(c, &s1, &s1, &perm_next);
+        for (int i = 0; i < 4; i++) {
+            fe_mul(c, &t, beta, &se[i]);
+            fe_add(c, &t, &t, gamma);
+            fe_add(c, &t, &t, &w[i]);
+            fe_mul(c, &s1, &s1, &t);
+        }
+        fe_neg(c, &s1, &s1);
+        fe_to_bytes(c, op + 32, &s1);
+        /* selectors: w0..w3, w0w1, w2w3, w_i^5 x4, -w4, 1, w0w1w2w3w4 */
+        fe q[13];
+        q[0] = w[0]; q[1] = w[1]; q[2] = w[2]; q[3] = w[3];
+        fe_mul(c, &q[4], &w[0], &w[1]);
+        fe_mul(c, &q[5], &w[2], &w[3]);
+        for (int i = 0; i < 4; i++) {
+            fe_mul(c, &t, &w[i], &w[i]);
+            fe_mul(c, &t, &t, &t);
+            fe_mul(c, &q[6 + i], &t, &w[i]);
+        }
+        fe_neg(c, &q[10], &w[4]);
+        q[11] = c->one;
+        fe_mul(c, &q[12], &q[4], &q[5]);
+        fe_mul(c, &q[12], &q[12], &w[4]);
+        for (int i = 0; i < 13; i++) fe_to_bytes(c, op + (2 + i) * 32, &q[i]);
+        /* split quotient: c0 = -vanish, c_{j+1} = c_j (1+vanish) zeta^2 */
+        fe znp2, qc;
+        fe_mul(c, &znp2, zeta, zeta);
+        fe_add(c, &t, &c->one, &vanish);
+        fe_mul(c, &znp2, &znp2, &t);
+        fe_neg(c, &qc, &vanish);
+        fe_to_bytes(c, op + 15 * 32, &qc);
+        for (int j = 1; j < 5; j++) {
+            fe_mul(c, &qc, &qc, &znp2);
+            fe_to_bytes(c, op + (15 + j) * 32, &qc);
+        }
+        /* v powers v^1..v^9 and aggregated eval */
+        fe vp = *v, eval;
+        fe_neg(c, &eval, &lin_const);
+        for (int i = 0; i < 5; i++) {
+            fe_to_bytes(c, op + (20 + i) * 32, &vp);
+            fe_mul(c, &t2, &vp, &w[i]);
+            fe_add(c, &eval, &eval, &t2);
+            fe_mul(c, &vp, &vp, v);
+        }
+        for (int i = 0; i < 4; i++) {
+            fe_to_bytes(c, op + (25 + i) * 32, &vp);
+            fe_mul(c, &t2, &vp, &se[i]);
+            fe_add(c, &eval, &eval, &t2);
+            fe_mul(c, &vp, &vp, v);
+        }
+        fe_mul(c, &t2, u, &perm_next);
+        fe_add(c, &eval, &eval, &t2);
+        fe_to_bytes(c, op + 29 * 32, &eval);
+    }
+    Py_END_ALLOW_THREADS
+    PyObject *res = PyBytes_FromStringAndSize((const char *)out,
+                                              (Py_ssize_t)np * 30 * 32);
+    free(gpow); free(den); free(pref); free(zeta_n); free(out);
+    PyBuffer_Release(&kb); PyBuffer_Release(&gb); PyBuffer_Release(&jb);
+    return res;
+}
+
 /* is_one(ctx, f 768B) -> bool (f in NORMAL form bytes? no: montgomery cmp) */
 static PyObject *py_f12_is_one(PyObject *self, PyObject *args) {
     PyObject *cap;
@@ -1756,6 +1959,8 @@ static PyMethodDef methods[] = {
     {"final_exp", py_final_exp, METH_VARARGS, "final exponentiation"},
     {"final_exp_bn", py_final_exp_bn, METH_VARARGS,
      "BN final exponentiation (x-chain hard part)"},
+    {"pcs_scalars_batch", py_pcs_scalars_batch, METH_VARARGS,
+     "batched TurboPlonk verifier scalars"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
     {"keccak256", py_keccak256, METH_VARARGS, "Keccak-256 (eth padding)"},
     {"challenge_chain", py_challenge_chain, METH_VARARGS,

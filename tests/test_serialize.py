@@ -65,3 +65,54 @@ class TestProofSerialization:
         tag, data = S.tagged_base64_decode(
             S.tagged_base64_encode("VERKEY", b"\x01\x02\xff"))
         assert (tag, data) == ("VERKEY", b"\x01\x02\xff")
+
+
+def test_native_pcs_scalars_parity():
+    """The C pcs_scalars_batch path must produce the same PcsInfo
+    (scalar/base multiset and aggregated eval) as the per-proof Python
+    verifier math it replaces (plonk/verifier.py pcs_info_with_challenges)."""
+    import random
+    from mpc_jellyfish_tpu.curves import BN254
+    from mpc_jellyfish_tpu.plonk.snark import PlonkKzgSnark
+    from mpc_jellyfish_tpu.plonk.verifier import Verifier, BatchProof
+    from mpc_jellyfish_tpu.pcs import kzg
+    from mpc_jellyfish_tpu.relation.circuit import PlonkCircuit
+
+    spec = BN254.fr
+    rng = random.Random(3)
+    cs = PlonkCircuit(spec)
+    vals = [cs.create_variable(rng.randrange(spec.p)) for _ in range(4)]
+    acc = vals[0]
+    while cs.num_gates() < 40:
+        acc = cs.mul(acc, vals[cs.num_gates() % 4])
+    out = cs.create_public_variable(cs.witness_of(acc))
+    cs.enforce_equal(acc, out)
+    cs.finalize_for_arithmetization()
+    snark = PlonkKzgSnark(BN254)
+    srs = kzg.universal_setup_for_testing(BN254, cs.srs_size(), seed=9)
+    pk, vk = snark.preprocess(srs, cs)
+    proofs = [snark.prove(cs, pk, rng=random.Random(i), mask=True)
+              for i in range(3)]
+
+    verifier = Verifier(BN254, vk.domain_size)
+    jobs = [([vk], [cs.public_input()], BatchProof.from_proof(pf), None)
+            for pf in proofs]
+    chs = verifier.compute_challenges_batch(jobs)
+    fast = verifier.pcs_infos_with_challenges_batch(chs, jobs)
+    if fast is None:
+        import pytest
+        pytest.skip("native runtime unavailable")
+    for ch, (vks_i, pis_i, bp, _), fi in zip(chs, jobs, fast):
+        ref = verifier.pcs_info_with_challenges(ch, vks_i, pis_i, bp)
+        assert fi.eval == ref.eval
+        assert fi.u == ref.u and fi.eval_point == ref.eval_point
+        assert fi.next_eval_point == ref.next_eval_point
+
+        def as_map(sb):
+            m = {}
+            for s, b in zip(sb.scalars, sb.bases):
+                key = (b.x, b.y, b.inf)
+                m[key] = (m.get(key, 0) + s) % spec.p
+            return m
+        assert as_map(fi.comm_scalars_and_bases) == as_map(
+            ref.comm_scalars_and_bases)
