@@ -39,15 +39,27 @@ def _load():
     d = _build_dir()
     so = os.path.join(d, "mpcjf_native.so")
     src = os.path.join(d, "mpcjf_native.c")
+    stamp = so + ".srchash"
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+        # Rebuild keyed on source CONTENT, not mtime: git checkouts give the
+        # .c and a stale .so identical mtimes, which silently disabled every
+        # native entry point added after the .so was built.
+        import hashlib
+        with open(src, "rb") as f:
+            src_hash = hashlib.sha256(f.read()).hexdigest()
+        built = None
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                built = f.read().strip()
+        if not os.path.exists(so) or built != src_hash:
             inc = sysconfig.get_paths()["include"]
             subprocess.run(
                 ["cc", "-O3", "-pthread", "-shared", "-fPIC", f"-I{inc}",
                  src, "-o", so + ".tmp"],
                 check=True, capture_output=True, timeout=120)
             os.replace(so + ".tmp", so)
+            with open(stamp, "w") as f:
+                f.write(src_hash)
         import importlib.util
         spec = importlib.util.spec_from_file_location("mpcjf_native", so)
         mod = importlib.util.module_from_spec(spec)

@@ -110,7 +110,7 @@ def test_native_pcs_scalars_parity():
 
         def as_map(sb):
             m = {}
-            for s, b in zip(sb.scalars, sb.bases):
+            for s, b in sb.pairs:
                 key = (b.x, b.y, b.inf)
                 m[key] = (m.get(key, 0) + s) % spec.p
             return m
