@@ -404,6 +404,14 @@ class PlonkKzgSnark:
         # Fiat-Shamir chains for the whole batch at once (native keccak,
         # pthread-parallel); falls back to per-proof hashing without C.
         challenges_list = verifiers[0].compute_challenges_batch(jobs)
+        # fully-native tail (scalars + combiner + dedup + MSMs in C) for the
+        # shared-vk TurboPlonk shape; ineligible batches fall through
+        fast = verifiers[0].batch_verify_native(
+            challenges_list, jobs, vks[0].open_key)
+        if fast is not None:
+            if not fast:
+                raise WrongProof("proof verification failed")
+            return True
         # batched native scalar path (Turbo single-vk); per-proof fallback
         pcs_infos = verifiers[0].pcs_infos_with_challenges_batch(
             challenges_list, jobs)

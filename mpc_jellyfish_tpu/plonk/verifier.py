@@ -58,10 +58,22 @@ class _SegmentRecorder(SolidityTranscript):
     ``compute_challenges`` body over it yields the exact per-challenge
     segments for the native keccak chain (``native.challenge_chain``)."""
 
-    def __init__(self, curve):
+    def __init__(self, curve, memo=None):
         super().__init__(curve)
         self._segments = []
         self._mark = 0
+        # per-batch point-bytes memo: batches that repeat commitment objects
+        # (shared vk, replicated proofs) serialize each point once.  Keyed by
+        # id() — safe because the caller holds the jobs alive for the call.
+        self._memo = memo if memo is not None else {}
+
+    def append_commitment(self, label: bytes, comm):
+        v = self._memo.get(id(comm))
+        if v is None:
+            from ..utils.serialize import g1_to_bytes
+            v = g1_to_bytes(self.curve, comm)
+            self._memo[id(comm)] = v
+        self.append_message(label, v)
 
     def get_and_append_challenge(self, label: bytes) -> int:
         t = bytes(self.transcript)
@@ -149,8 +161,9 @@ class Verifier:
         if self.transcript_cls is not SolidityTranscript:
             return [self.compute_challenges(*job) for job in jobs]
         seg_batches = []
+        memo = {}
         for job in jobs:
-            rec = _SegmentRecorder(self.curve)
+            rec = _SegmentRecorder(self.curve, memo)
             self.compute_challenges(*job, _transcript=rec)
             seg_batches.append(rec.take_segments())
         states = native.challenge_chain(seg_batches)
@@ -423,17 +436,11 @@ class Verifier:
             shifted_opening_proof=batch_proof.shifted_opening_proof,
         )
 
-    def pcs_infos_with_challenges_batch(self, challenges_list, jobs):
-        """Batched pcs_info via the C runtime (native pcs_scalars_batch):
-        the per-proof verifier field math of pcs_info_with_challenges for
-        the TurboPlonk single-vk case, with one shared Montgomery batch
-        inversion across all proofs.  Returns None when ineligible (plookup,
-        merged circuits, heterogeneous vks/domains, no native runtime) —
-        the caller falls back to the per-proof Python path, which this path
-        is pinned against in tests/test_serialize.py::test_native_pcs_scalars_parity."""
-        from ..utils import native
+    def _fast_path_npi(self, jobs):
+        """Eligibility of the native TurboPlonk single-vk fast path;
+        returns the public-input count, or None when ineligible."""
         if not jobs:
-            return []
+            return None
         vk0 = jobs[0][0][0]
         npi = len(jobs[0][1][0])
         for (vks_i, pis_i, bp, _x) in jobs:
@@ -450,6 +457,112 @@ class Verifier:
                     or len(bp.split_quot_poly_comms) != 5
                     or len(pis_i[0]) != npi):
                 return None
+        return npi
+
+    def _fast_scalar_rows(self, challenges_list, jobs, npi):
+        """Raw 30x32B-per-proof verifier scalar rows from the C runtime,
+        or None without a native runtime."""
+        from ..utils import native
+        p = self.p
+        buf = bytearray()
+        for ch, (vks_i, pis_i, bp, _x) in zip(challenges_list, jobs):
+            ev = bp.poly_evals_vec[0]
+            vals = [ch.tau, ch.beta, ch.gamma, ch.alpha, ch.zeta, ch.v, ch.u]
+            vals += list(ev.wires_evals) + list(ev.wire_sigma_evals)
+            vals.append(ev.perm_next_eval)
+            vals += [int(x) % p for x in pis_i[0]]
+            for v_ in vals:
+                buf += int(v_).to_bytes(32, "little")
+        return native.pcs_scalars_batch_raw(
+            p, jobs[0][0][0].k, self.n.bit_length() - 1, self.group_gen, npi,
+            bytes(buf))
+
+    def batch_verify_native(self, challenges_list, jobs, open_key):
+        """Fully-native batch verification tail: scalar rows, r^i combiner
+        scaling, base dedup and the A/B MSMs all run in C
+        (native.batch_opening_msm); Python keeps only the transcript for r
+        and the final 2-pairing check.  Requires one shared vk across the
+        batch (the reference bench shape).  Returns True/False, or None
+        when ineligible — pinned against the Python path in
+        tests/test_serialize.py::test_native_batch_verify_parity."""
+        from ..utils import native
+        npi = self._fast_path_npi(jobs)
+        if npi is None:
+            return None
+        vk0 = jobs[0][0][0]
+        for (vks_i, _pi, _bp, _x) in jobs:
+            if vks_i[0] is not vk0:
+                return None
+        rows = self._fast_scalar_rows(challenges_list, jobs, npi)
+        if rows is None:
+            return None
+        p = self.p
+        if len(jobs) == 1:
+            r = 1
+        else:
+            t = SolidityTranscript(self.curve, b"batch verify")
+            for ch in challenges_list:
+                t.append_field(b"u", ch.u)
+            r = t.get_and_append_challenge(b"r")
+        gen = self.group_gen
+        ex = bytearray()
+        for ch in challenges_list:
+            ex += ch.u.to_bytes(32, "little")
+            ex += ch.zeta.to_bytes(32, "little")
+            ex += (ch.zeta * gen % p).to_bytes(32, "little")
+
+        def _pt65(pt):
+            if pt.inf:
+                return b"\x00" * 64 + b"\x01"
+            return (pt.x.to_bytes(32, "little")
+                    + pt.y.to_bytes(32, "little") + b"\x00")
+
+        vk_bases = b"".join(_pt65(pt) for pt in
+                            [vk0.sigma_comms[-1], *vk0.selector_comms,
+                             *vk0.sigma_comms[:4], open_key.g])
+        memo = {}
+
+        def _pb(pt):
+            v = memo.get(id(pt))
+            if v is None:
+                v = _pt65(pt)
+                memo[id(pt)] = v
+            return v
+
+        parts = []
+        for (_vks, _pi, bp, _x) in jobs:
+            parts.append(_pb(bp.prod_perm_poly_comms_vec[0]))
+            for c_ in bp.split_quot_poly_comms:
+                parts.append(_pb(c_))
+            for c_ in bp.wires_poly_comms_vec[0]:
+                parts.append(_pb(c_))
+            parts.append(_pb(bp.opening_proof))
+            parts.append(_pb(bp.shifted_opening_proof))
+        res = native.batch_opening_msm(
+            p, self.curve.fq.p, rows, bytes(ex), r, vk_bases,
+            b"".join(parts))
+        if res is None:
+            return None
+        a, b = res
+        return PR.pairing_check(
+            self.curve, [a, ec_neg(self.curve.fq.p, b)],
+            [open_key.beta_h, open_key.h])
+
+    def pcs_infos_with_challenges_batch(self, challenges_list, jobs):
+        """Batched pcs_info via the C runtime (native pcs_scalars_batch):
+        the per-proof verifier field math of pcs_info_with_challenges for
+        the TurboPlonk single-vk case, with one shared Montgomery batch
+        inversion across all proofs.  Returns None when ineligible (plookup,
+        merged circuits, heterogeneous vks/domains, no native runtime) —
+        the caller falls back to the per-proof Python path, which this path
+        is pinned against in tests/test_serialize.py::test_native_pcs_scalars_parity."""
+        from ..utils import native
+        if not jobs:
+            return []
+        npi = self._fast_path_npi(jobs)
+        if npi is None:
+            return None
+        vk0 = jobs[0][0][0]
         p = self.p
         buf = bytearray()
         for ch, (vks_i, pis_i, bp, _x) in zip(challenges_list, jobs):

@@ -136,6 +136,17 @@ def msm(p: int, points, scalars):
     return AffinePoint(_b2i(out[:32]), _b2i(out[32:64]))
 
 
+def pcs_scalars_batch_raw(fr_p: int, k, log_n: int, gen: int, npi: int,
+                          jobs_bytes: bytes):
+    """Raw-bytes form of pcs_scalars_batch (30 x 32B LE per proof), or None."""
+    got = _get_fr_ctx(fr_p)
+    if got is None or not hasattr(got[0], "pcs_scalars_batch"):
+        return None
+    mod, ctx = got
+    kb = b"".join(_i2b(int(x)) for x in k)
+    return mod.pcs_scalars_batch(ctx, kb, log_n, _i2b(gen), npi, jobs_bytes)
+
+
 def pcs_scalars_batch(fr_p: int, k, log_n: int, gen: int, npi: int,
                       jobs_bytes: bytes):
     """Batched TurboPlonk verifier scalars (C runtime), or None (fallback).
@@ -144,15 +155,34 @@ def pcs_scalars_batch(fr_p: int, k, log_n: int, gen: int, npi: int,
     s0..s3, perm_next, pi...] as 32B LE field elements.  Returns per proof
     30 ints: [prod_perm, last_sigma, q0..q12, quot0..quot4, v^1..v^9, eval].
     """
-    got = _get_fr_ctx(fr_p)
-    if got is None or not hasattr(got[0], "pcs_scalars_batch"):
+    out = pcs_scalars_batch_raw(fr_p, k, log_n, gen, npi, jobs_bytes)
+    if out is None:
         return None
-    mod, ctx = got
-    kb = b"".join(_i2b(int(x)) for x in k)
-    out = mod.pcs_scalars_batch(ctx, kb, log_n, _i2b(gen), npi, jobs_bytes)
     n_f = len(out) // 32
     vals = [_b2i(out[i * 32:(i + 1) * 32]) for i in range(n_f)]
     return [vals[i * 30:(i + 1) * 30] for i in range(n_f // 30)]
+
+
+def batch_opening_msm(fr_p: int, fq_p: int, rows: bytes, extras: bytes,
+                      r: int, vk_bases: bytes, proof_bases: bytes):
+    """Fused batch opening-proof aggregation (verifier.rs:195-251) in C:
+    r^i scaling, base dedup, and both MSMs.  Returns (A, B) AffinePoints or
+    None (fallback)."""
+    gr = _get_fr_ctx(fr_p)
+    gq = _get_fr_ctx(fq_p)
+    if gr is None or gq is None or not hasattr(gr[0], "batch_opening_msm"):
+        return None
+    mod, ctxr = gr
+    _, ctxq = gq
+    out = mod.batch_opening_msm(ctxr, ctxq, rows, extras, _i2b(r),
+                                vk_bases, proof_bases)
+    from .ec_host import AffinePoint
+
+    def _pt(b):
+        if b[64]:
+            return AffinePoint.infinity()
+        return AffinePoint(_b2i(b[:32]), _b2i(b[32:64]))
+    return _pt(out[:65]), _pt(out[65:130])
 
 
 def challenge_chain(batches):

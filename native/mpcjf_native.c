@@ -1607,6 +1607,216 @@ static PyObject *py_pcs_scalars_batch(PyObject *self, PyObject *args) {
     return res;
 }
 
+/* ---- fused batch opening-proof aggregation ----------------------------
+ *
+ * batch_opening_msm(ctx_fr, ctx_fq, rows, extras, r, vk_bases, proof_bases)
+ *   -> bytes 130B:  A (x32 y32 inf1) || B (x32 y32 inf1)
+ *
+ * Fuses Verifier::batch_verify_opening_proofs (reference verifier.rs:195-251)
+ * over the TurboPlonk fast-path scalar rows of pcs_scalars_batch: r^i
+ * combiner scaling, per-vk scalar accumulation, base dedup and both MSMs run
+ * natively; Python only supplies bytes and does the final pairing check.
+ *   rows:        np * 30 * 32B   (pcs_scalars_batch output, raw)
+ *   extras:      np * 3 * 32B    per proof [u, zeta, next_eval_point]
+ *   r:           32B             batch combiner challenge
+ *   vk_bases:    19 * 65B        [sigma_last, sel0..sel12, sigma0..3, G]
+ *   proof_bases: np * 13 * 65B   [prod_perm, quot0..4, wire0..4,
+ *                                 opening_proof, shifted_opening_proof]
+ * Points are x32||y32||inf1 LE affine. Repeated bases (identical coord
+ * bytes) merge their scalars before the MSM, so same-vk batches collapse to
+ * ~32 unique points. */
+
+static void g1_out65(const fctx *c, uint8_t *out, const g1 *res) {
+    if (fe_is_zero(&res->z)) {
+        memset(out, 0, 64);
+        out[64] = 1;
+        return;
+    }
+    fe zi, zi2, ax, ay;
+    fe_inv(c, &zi, &res->z);
+    fe_sqr(c, &zi2, &zi);
+    fe_mul(c, &ax, &res->x, &zi2);
+    fe_mul(c, &zi2, &zi2, &zi);
+    fe_mul(c, &ay, &res->y, &zi2);
+    fe_to_bytes(c, out, &ax);
+    fe_to_bytes(c, out + 32, &ay);
+    out[64] = 0;
+}
+
+static uint64_t bomsm_hash(const uint8_t *k) {
+    uint64_t h = 1469598103934665603ULL;
+    for (int i = 0; i < 64; i++) { h ^= k[i]; h *= 1099511628211ULL; }
+    return h;
+}
+
+/* Dedup n (base, scalar) pairs by 64B coord key, then MSM over cq. */
+static int bomsm_run(const fctx *cr, const fctx *cq, g1 *out,
+                     const uint8_t **keys, const fe *scal, Py_ssize_t n) {
+    Py_ssize_t cap = 16;
+    while (cap < 2 * n) cap <<= 1;
+    int32_t *ht = (int32_t *)malloc(cap * sizeof(int32_t));
+    fe *acc = (fe *)malloc((n ? n : 1) * sizeof(fe));
+    const uint8_t **ukey =
+        (const uint8_t **)malloc((n ? n : 1) * sizeof(void *));
+    if (!ht || !acc || !ukey) { free(ht); free(acc); free(ukey); return -1; }
+    memset(ht, 0xff, cap * sizeof(int32_t));
+    Py_ssize_t m = 0;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        const uint8_t *k = keys[i];
+        if (k[64]) continue;                 /* infinity base contributes 0 */
+        uint64_t h = bomsm_hash(k) & (uint64_t)(cap - 1);
+        for (;;) {
+            int32_t s = ht[h];
+            if (s < 0) {
+                ht[h] = (int32_t)m;
+                ukey[m] = k;
+                acc[m] = scal[i];
+                m++;
+                break;
+            }
+            if (memcmp(ukey[s], k, 64) == 0) {
+                fe_add(cr, &acc[s], &acc[s], &scal[i]);
+                break;
+            }
+            h = (h + 1) & (uint64_t)(cap - 1);
+        }
+    }
+    if (m == 0) { g1_inf(cq, out); free(ht); free(acc); free(ukey); return 0; }
+    uint8_t *scb = (uint8_t *)malloc(m * 32);
+    fe *xs = (fe *)malloc(m * sizeof(fe));
+    fe *ys = (fe *)malloc(m * sizeof(fe));
+    uint8_t *infs = (uint8_t *)malloc(m);
+    if (!scb || !xs || !ys || !infs) {
+        free(ht); free(acc); free(ukey);
+        free(scb); free(xs); free(ys); free(infs);
+        return -1;
+    }
+    for (Py_ssize_t j = 0; j < m; j++) {
+        fe_to_bytes(cr, scb + j * 32, &acc[j]);
+        fe_from_bytes(cq, &xs[j], ukey[j]);
+        fe_from_bytes(cq, &ys[j], ukey[j] + 32);
+        infs[j] = 0;
+    }
+    g1_msm(cq, out, xs, ys, infs, (const uint64_t *)scb, m);
+    free(ht); free(acc); free(ukey);
+    free(scb); free(xs); free(ys); free(infs);
+    return 0;
+}
+
+static PyObject *py_batch_opening_msm(PyObject *self, PyObject *args) {
+    PyObject *capr, *capq;
+    Py_buffer rows, extras, rb, vkb, pfb;
+    if (!PyArg_ParseTuple(args, "OOy*y*y*y*y*", &capr, &capq, &rows, &extras,
+                          &rb, &vkb, &pfb))
+        return NULL;
+    fctx *cr = get_ctx(capr), *cq = get_ctx(capq);
+    const Py_ssize_t np = rows.len / (30 * 32);
+    if (np < 1 || rows.len != np * 30 * 32 || extras.len != np * 3 * 32
+        || rb.len != 32 || vkb.len != 19 * 65 || pfb.len != np * 13 * 65) {
+        PyErr_SetString(PyExc_ValueError, "batch_opening_msm: bad buffers");
+        PyBuffer_Release(&rows); PyBuffer_Release(&extras);
+        PyBuffer_Release(&rb); PyBuffer_Release(&vkb); PyBuffer_Release(&pfb);
+        return NULL;
+    }
+    const Py_ssize_t nb = 19 + 13 * np, na = 2 * np;
+    const uint8_t **bkey =
+        (const uint8_t **)malloc((nb + na) * sizeof(void *));
+    fe *bscal = (fe *)malloc((nb + na) * sizeof(fe));
+    uint8_t out[130];
+    int rc = 0;
+    if (!bkey || !bscal) {
+        free(bkey); free(bscal);
+        PyBuffer_Release(&rows); PyBuffer_Release(&extras);
+        PyBuffer_Release(&rb); PyBuffer_Release(&vkb); PyBuffer_Release(&pfb);
+        return PyErr_NoMemory();
+    }
+    const uint8_t **akey = bkey + nb;
+    fe *ascal = bscal + nb;
+    Py_BEGIN_ALLOW_THREADS
+    {
+        const uint8_t *rw = (const uint8_t *)rows.buf;
+        const uint8_t *ex = (const uint8_t *)extras.buf;
+        const uint8_t *vk = (const uint8_t *)vkb.buf;
+        const uint8_t *pf = (const uint8_t *)pfb.buf;
+        fe r, ri, vkacc[18], gacc, t, s, u, zeta, nxt;
+        fe_from_bytes(cr, &r, (const uint8_t *)rb.buf);
+        ri = cr->one;
+        memset(vkacc, 0, sizeof vkacc);
+        memset(&gacc, 0, sizeof gacc);
+        for (Py_ssize_t i = 0; i < np; i++) {
+            const uint8_t *row = rw + i * 30 * 32;
+            const uint8_t *pb = pf + i * 13 * 65;
+            fe_from_bytes(cr, &u, ex + i * 96);
+            fe_from_bytes(cr, &zeta, ex + i * 96 + 32);
+            fe_from_bytes(cr, &nxt, ex + i * 96 + 64);
+            /* vk-shared accumulators */
+            fe_from_bytes(cr, &s, row + 1 * 32);          /* sigma_last */
+            fe_mul(cr, &t, &s, &ri);
+            fe_add(cr, &vkacc[0], &vkacc[0], &t);
+            for (int j = 0; j < 13; j++) {                /* selectors */
+                fe_from_bytes(cr, &s, row + (2 + j) * 32);
+                fe_mul(cr, &t, &s, &ri);
+                fe_add(cr, &vkacc[1 + j], &vkacc[1 + j], &t);
+            }
+            for (int j = 0; j < 4; j++) {                 /* sigma 0..3 */
+                fe_from_bytes(cr, &s, row + (25 + j) * 32);
+                fe_mul(cr, &t, &s, &ri);
+                fe_add(cr, &vkacc[14 + j], &vkacc[14 + j], &t);
+            }
+            fe_from_bytes(cr, &s, row + 29 * 32);         /* agg eval -> -G */
+            fe_mul(cr, &t, &s, &ri);
+            fe_sub(cr, &gacc, &gacc, &t);
+            /* per-proof B-side entries */
+            fe *sb_ = bscal + 19 + i * 13;
+            const uint8_t **kb_ = bkey + 19 + i * 13;
+            fe_from_bytes(cr, &s, row);                   /* prod_perm + u */
+            fe_add(cr, &s, &s, &u);
+            fe_mul(cr, &sb_[0], &s, &ri);
+            kb_[0] = pb;
+            for (int j = 0; j < 5; j++) {                 /* quotient */
+                fe_from_bytes(cr, &s, row + (15 + j) * 32);
+                fe_mul(cr, &sb_[1 + j], &s, &ri);
+                kb_[1 + j] = pb + (1 + j) * 65;
+            }
+            for (int j = 0; j < 5; j++) {                 /* wires */
+                fe_from_bytes(cr, &s, row + (20 + j) * 32);
+                fe_mul(cr, &sb_[6 + j], &s, &ri);
+                kb_[6 + j] = pb + (6 + j) * 65;
+            }
+            fe_mul(cr, &sb_[11], &zeta, &ri);             /* z_i W_i */
+            kb_[11] = pb + 11 * 65;
+            fe_mul(cr, &s, &u, &nxt);                     /* u_i z'_i W'_i */
+            fe_mul(cr, &sb_[12], &s, &ri);
+            kb_[12] = pb + 12 * 65;
+            /* A-side entries */
+            ascal[2 * i] = ri;
+            akey[2 * i] = pb + 11 * 65;
+            fe_mul(cr, &ascal[2 * i + 1], &u, &ri);
+            akey[2 * i + 1] = pb + 12 * 65;
+            fe_mul(cr, &ri, &ri, &r);
+        }
+        for (int j = 0; j < 18; j++) {
+            bkey[j] = vk + j * 65;
+            bscal[j] = vkacc[j];
+        }
+        bkey[18] = vk + 18 * 65;
+        bscal[18] = gacc;
+        g1 A, B;
+        rc = bomsm_run(cr, cq, &A, akey, ascal, na);
+        if (rc == 0) rc = bomsm_run(cr, cq, &B, bkey, bscal, nb);
+        if (rc == 0) {
+            g1_out65(cq, out, &A);
+            g1_out65(cq, out + 65, &B);
+        }
+    }
+    Py_END_ALLOW_THREADS
+    free(bkey); free(bscal);
+    PyBuffer_Release(&rows); PyBuffer_Release(&extras);
+    PyBuffer_Release(&rb); PyBuffer_Release(&vkb); PyBuffer_Release(&pfb);
+    if (rc != 0) return PyErr_NoMemory();
+    return PyBytes_FromStringAndSize((const char *)out, 130);
+}
+
 /* is_one(ctx, f 768B) -> bool (f in NORMAL form bytes? no: montgomery cmp) */
 static PyObject *py_f12_is_one(PyObject *self, PyObject *args) {
     PyObject *cap;
@@ -1961,6 +2171,8 @@ static PyMethodDef methods[] = {
      "BN final exponentiation (x-chain hard part)"},
     {"pcs_scalars_batch", py_pcs_scalars_batch, METH_VARARGS,
      "batched TurboPlonk verifier scalars"},
+    {"batch_opening_msm", py_batch_opening_msm, METH_VARARGS,
+     "fused batch opening-proof aggregation (A,B MSMs)"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
     {"keccak256", py_keccak256, METH_VARARGS, "Keccak-256 (eth padding)"},
     {"challenge_chain", py_challenge_chain, METH_VARARGS,

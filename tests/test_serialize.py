@@ -116,3 +116,67 @@ def test_native_pcs_scalars_parity():
             return m
         assert as_map(fi.comm_scalars_and_bases) == as_map(
             ref.comm_scalars_and_bases)
+
+
+def test_native_batch_verify_parity():
+    """The fully-native batch-verify tail (batch_opening_msm: r^i scaling,
+    base dedup, A/B MSMs in C) must agree with the Python
+    ScalarsAndBases/batch_verify_opening_proofs path on accept AND reject,
+    for distinct proofs sharing one vk (reference verifier.rs:195-251)."""
+    import copy
+    import random
+    import pytest
+    from mpc_jellyfish_tpu.curves import BN254
+    from mpc_jellyfish_tpu.plonk.snark import PlonkKzgSnark, WrongProof
+    from mpc_jellyfish_tpu.plonk.structs import BatchProof
+    from mpc_jellyfish_tpu.plonk.verifier import Verifier
+    from mpc_jellyfish_tpu.pcs import kzg
+    from mpc_jellyfish_tpu.relation.circuit import PlonkCircuit
+
+    spec = BN254.fr
+    rng = random.Random(5)
+    cs = PlonkCircuit(spec)
+    vals = [cs.create_variable(rng.randrange(spec.p)) for _ in range(4)]
+    acc = vals[0]
+    while cs.num_gates() < 40:
+        acc = cs.mul(acc, vals[cs.num_gates() % 4])
+    out = cs.create_public_variable(cs.witness_of(acc))
+    cs.enforce_equal(acc, out)
+    cs.finalize_for_arithmetization()
+    snark = PlonkKzgSnark(BN254)
+    srs = kzg.universal_setup_for_testing(BN254, cs.srs_size(), seed=11)
+    pk, vk = snark.preprocess(srs, cs)
+    proofs = [snark.prove(cs, pk, rng=random.Random(i), mask=True)
+              for i in range(3)]
+
+    verifier = Verifier(BN254, vk.domain_size)
+    jobs = [([vk], [cs.public_input()], BatchProof.from_proof(pf), None)
+            for pf in proofs]
+    chs = verifier.compute_challenges_batch(jobs)
+    fast = verifier.batch_verify_native(chs, jobs, vk.open_key)
+    if fast is None:
+        pytest.skip("native runtime unavailable")
+    assert fast is True
+    # python-path oracle agrees
+    infos = [verifier.pcs_info_with_challenges(ch, vks_i, pis_i, bp)
+             for ch, (vks_i, pis_i, bp, _) in zip(chs, jobs)]
+    assert Verifier.batch_verify_opening_proofs(BN254, vk.open_key, infos)
+    # corrupted proof rejected by BOTH paths identically
+    bad = copy.deepcopy(proofs[1])
+    bad.wires_poly_comms[0] = proofs[2].wires_poly_comms[1]
+    bad_jobs = [([vk], [cs.public_input()], BatchProof.from_proof(pf), None)
+                for pf in (proofs[0], bad, proofs[2])]
+    bad_chs = verifier.compute_challenges_batch(bad_jobs)
+    assert verifier.batch_verify_native(bad_chs, bad_jobs, vk.open_key) is False
+    bad_infos = [verifier.pcs_info_with_challenges(ch, vks_i, pis_i, bp)
+                 for ch, (vks_i, pis_i, bp, _) in zip(bad_chs, bad_jobs)]
+    assert not Verifier.batch_verify_opening_proofs(BN254, vk.open_key,
+                                                    bad_infos)
+    # end-to-end snark API raises on the bad batch, accepts the good one
+    assert snark.batch_verify([vk] * 3, [cs.public_input()] * 3, proofs)
+    try:
+        snark.batch_verify([vk] * 3, [cs.public_input()] * 3,
+                           [proofs[0], bad, proofs[2]])
+        assert False, "corrupt proof accepted"
+    except WrongProof:
+        pass
