@@ -68,12 +68,14 @@ class _SegmentRecorder(SolidityTranscript):
         self._memo = memo if memo is not None else {}
 
     def append_commitment(self, label: bytes, comm):
-        v = self._memo.get(id(comm))
-        if v is None:
+        hit = self._memo.get(id(comm))
+        if hit is None:
             from ..utils.serialize import g1_to_bytes
-            v = g1_to_bytes(self.curve, comm)
-            self._memo[id(comm)] = v
-        self.append_message(label, v)
+            # store the point alongside its bytes: the dict reference pins
+            # the object, so id() reuse by a temporary is impossible
+            hit = (comm, g1_to_bytes(self.curve, comm))
+            self._memo[id(comm)] = hit
+        self.append_message(label, hit[1])
 
     def get_and_append_challenge(self, label: bytes) -> int:
         t = bytes(self.transcript)
@@ -441,6 +443,11 @@ class Verifier:
         returns the public-input count, or None when ineligible."""
         if not jobs:
             return None
+        # the C runtime works on 32-byte LE field elements: curves with
+        # Fr or Fq wider than 256 bits (BW6-761) must use the Python path
+        # (matches the _get_fr_ctx scope check in utils/native.py)
+        if self.p.bit_length() > 256 or self.curve.fq.p.bit_length() > 256:
+            return None
         vk0 = jobs[0][0][0]
         npi = len(jobs[0][1][0])
         for (vks_i, pis_i, bp, _x) in jobs:
@@ -493,6 +500,11 @@ class Verifier:
         for (vks_i, _pi, _bp, _x) in jobs:
             if vks_i[0] is not vk0:
                 return None
+        # check the fused-MSM entry point exists BEFORE computing scalar
+        # rows: otherwise the fallback (pcs_infos_with_challenges_batch)
+        # recomputes the same rows, doubling the native work
+        if not native.has_batch_opening_msm(self.p, self.curve.fq.p):
+            return None
         rows = self._fast_scalar_rows(challenges_list, jobs, npi)
         if rows is None:
             return None
@@ -523,10 +535,13 @@ class Verifier:
         memo = {}
 
         def _pb(pt):
-            v = memo.get(id(pt))
-            if v is None:
-                v = _pt65(pt)
-                memo[id(pt)] = v
+            hit = memo.get(id(pt))
+            if hit is not None:
+                return hit[1]
+            v = _pt65(pt)
+            # store the point itself too: the dict reference keeps it alive,
+            # so a freed id() can never be reused by a different point
+            memo[id(pt)] = (pt, v)
             return v
 
         parts = []

@@ -163,6 +163,14 @@ def pcs_scalars_batch(fr_p: int, k, log_n: int, gen: int, npi: int,
     return [vals[i * 30:(i + 1) * 30] for i in range(n_f // 30)]
 
 
+def has_batch_opening_msm(fr_p: int, fq_p: int) -> bool:
+    """Cheap availability probe for batch_opening_msm (no work computed)."""
+    gr = _get_fr_ctx(fr_p)
+    gq = _get_fr_ctx(fq_p)
+    return gr is not None and gq is not None and hasattr(
+        gr[0], "batch_opening_msm")
+
+
 def batch_opening_msm(fr_p: int, fq_p: int, rows: bytes, extras: bytes,
                       r: int, vk_bases: bytes, proof_bases: bytes):
     """Fused batch opening-proof aggregation (verifier.rs:195-251) in C:
