@@ -177,6 +177,17 @@ class CosetTable:
                                  domain.n)
 
 
+def _stage_pallas_ok(n: int) -> bool:
+    """True iff the per-stage Pallas butterfly kernel supports domain size n.
+
+    The kernel tiles each half (n/2 elements) into [rows, 128] lane blocks
+    with an 8-row sublane block; Mosaic rejects block shapes whose
+    second-to-last dim is not a multiple of 8 (unless equal to the array
+    dim, which never holds here since a block covers only half the poly).
+    """
+    return n >= 2048 and (n // 2 // 128) % 8 == 0
+
+
 def _dif(spec: FieldSpec, x: jnp.ndarray, twiddles, log_n: int) -> jnp.ndarray:
     """Constant-geometry (Pease) DIF butterflies; output in bit-reversed order.
 
@@ -234,8 +245,12 @@ def _dif_tpu(spec: FieldSpec, x: jnp.ndarray, dense_tw, log_n: int) -> jnp.ndarr
 
 def _dif_dispatch(domain: Domain, x, twiddles, inverse: bool):
     from . import field as F
-    # Pallas stage kernel needs whole (sublane, 128-lane) half-blocks
-    if F._use_pallas() and domain.n >= 256:
+    # Pallas stage kernel blocks each HALF of the poly: Mosaic requires the
+    # sublane block dim to be a multiple of 8, so the half must span >= 8
+    # rows of 128 lanes (n/2/128 % 8 == 0 -> n >= 2048).  n in {256..1024}
+    # used to slip through a `n >= 256` gate and crash Mosaic lowering on
+    # real TPUs (round-3 batch-verify bench, bench_r3_batchverify.log).
+    if F._use_pallas() and _stage_pallas_ok(domain.n):
         dense = (domain.twiddles_inv_dense if inverse
                  else domain.twiddles_fwd_dense)
         return _dif_tpu(domain.spec, x, dense, domain.log_n)

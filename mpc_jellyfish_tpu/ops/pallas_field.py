@@ -177,6 +177,11 @@ def ntt_stage_pallas(spec, x: jnp.ndarray, w_dense: jnp.ndarray) -> jnp.ndarray:
     h = n // 2
     assert h % LANES == 0, "pallas NTT stage needs n >= 256"
     h_rows = h // LANES
+    # Mosaic block rule: sublane block dims must be multiples of 8 (or equal
+    # to the full array dim — never the case here: a block covers one half).
+    assert h_rows % 8 == 0, (
+        f"pallas NTT stage needs n >= 2048 (got n={n}); callers must gate "
+        f"via ntt._stage_pallas_ok")
     hb_rows = _pick_subs(h_rows)
     kernel = functools.partial(
         _butterfly_kernel_body,
