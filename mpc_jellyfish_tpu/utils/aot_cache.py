@@ -104,10 +104,31 @@ def _code_hash(fn) -> str:
     return h.hexdigest()[:16]
 
 
+def repo_cache_root() -> str | None:
+    """Repo-local cache root (<repo>/.tpu_cache) when the package lives in a
+    writable checkout, else None.  TPU artifacts go HERE so they survive the
+    environment resets that wipe $HOME between builder and driver runs
+    (round 3: a wiped $HOME cost 252.9s preprocess + 499.4s warmup re-compiles
+    at 2^16).  jax.export blobs and XLA:TPU executables are keyed by platform
+    and runtime version, not host CPU features, so committing them is safe;
+    XLA:CPU artifacts are NOT host-portable and stay in $HOME."""
+    import mpc_jellyfish_tpu as pkg
+    root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    d = os.path.join(root, ".tpu_cache")
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
+
+
 def _cache_dir() -> str:
-    d = os.environ.get(
-        "MPC_JELLYFISH_TPU_CACHE",
-        os.path.expanduser("~/.cache/mpc_jellyfish_tpu_xla"))
+    d = os.environ.get("MPC_JELLYFISH_TPU_CACHE")
+    if d is None:
+        if jax.default_backend() == "tpu":
+            d = repo_cache_root()
+        if d is None:
+            d = os.path.expanduser("~/.cache/mpc_jellyfish_tpu_xla")
     d = os.path.join(d, "export")
     os.makedirs(d, exist_ok=True)
     return d
