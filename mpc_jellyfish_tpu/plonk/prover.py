@@ -344,6 +344,58 @@ class Prover:
                        statics, tau_d, deps=("prover",))
         return f(wire_values, statics, tau_d)
 
+    def plookup_sorted_indices_dev(self, mt, ml):
+        """Device-side Plookup sorted-vector indices (reference
+        constraint_system.rs:1370-1417 ordering, computed without the host).
+
+        Round-3 did this on the host: TWO full-vector D2H transfers +
+        limb->bigint conversion + an O(n) Python dict walk per prove (the
+        UltraPlonk margin, VERDICT r4 item 6).  Here: one lexicographic
+        multi-key sort groups equal values (table rows tie-break first and
+        by index), a run-start scan binds every lookup to the FIRST table
+        row holding its value (dict-iteration parity with the reference),
+        and a final i32 sort yields the gather indices.
+
+        mt, ml: [L, n] Montgomery limb tensors (equality of Montgomery
+        reps == equality of values; numeric ORDER is irrelevant — any
+        consistent grouping works).  Returns (idx [2n-1] i32, ok scalar
+        bool); ok is False iff some lookup value is absent from the table.
+        """
+        spec = self.spec
+        n = self.n
+        L = spec.num_limbs
+        m = 2 * n - 1
+        I32 = jnp.int32
+
+        def fn(mt_, ml_):
+            vals = jnp.concatenate([mt_, ml_[:, :n - 1]], axis=1)  # [L, m]
+            flag = jnp.concatenate([jnp.zeros(n, I32), jnp.ones(n - 1, I32)])
+            orig = jnp.concatenate([jnp.arange(n, dtype=I32),
+                                    jnp.zeros(n - 1, I32)])
+            # keys: limbs most-significant first, then flag (table rows
+            # before equal lookups), then orig (first table occurrence
+            # first) — fully deterministic
+            ops = tuple(vals[L - 1 - i] for i in range(L)) + (flag, orig)
+            s = jax.lax.sort(ops, num_keys=L + 2)
+            s_limbs, s_flag, s_orig = s[:L], s[L], s[L + 1]
+            same = None
+            for l in s_limbs:
+                eq = l[1:] == l[:-1]
+                same = eq if same is None else (same & eq)
+            is_new = jnp.concatenate(
+                [jnp.ones((1,), dtype=jnp.bool_), ~same])
+            pos = jnp.arange(m, dtype=I32)
+            run_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+            ok = jnp.all(jnp.take(s_flag, run_start) == 0)
+            assigned = jnp.take(s_orig, run_start)
+            idx_vals = jnp.where(s_flag == 0, s_orig, assigned)
+            return jnp.sort(idx_vals), ok
+
+        from ..utils.aot_cache import cached_jit
+        f = cached_jit(f"plksort-{spec.name}-n{n}", fn, mt, ml,
+                       deps=("prover",))
+        return f(mt, ml)
+
     def run_plookup_1st_round(self, ck, sorted_dev, rng, mask: bool):
         """Commit the sorted-vector halves h1, h2 (prover.rs:98-118).
 

@@ -255,17 +255,20 @@ class PlonkKzgSnark:
             if c.support_lookup():
                 from .structs import PlookupOracles
                 import jax.numpy as jnp
-                # merged table/wire values on DEVICE; only the sort order
-                # (pure int counting) is computed on the host, and the
-                # sorted vector is a device gather of the merged table
+                # merged table/wire values AND the sort order on DEVICE
+                # (round-3 pulled both vectors to the host and dict-walked
+                # them per prove — the UltraPlonk margin); the sorted
+                # vector is a device gather of the merged table
                 mt_dev, ml_dev = prover.plookup_merge(
                     pks[i], wire_values_list[i], challenges.tau)
-                idx = c.lookup_sorted_indices(spec.from_device(mt_dev),
-                                              spec.from_device(ml_dev))
-                import numpy as _np
-                sorted_dev = jnp.take(
-                    mt_dev, jnp.asarray(_np.asarray(idx, dtype=_np.int32)),
-                    axis=1)
+                idx_dev, ok = prover.plookup_sorted_indices_dev(
+                    mt_dev, ml_dev)
+                if not bool(ok):
+                    from ..relation.circuit import CircuitError
+                    raise CircuitError(
+                        "lookup variable outside the table "
+                        "(sorted vector length mismatch)")
+                sorted_dev = jnp.take(mt_dev, idx_dev, axis=1)
                 comms, h_polys = prover.run_plookup_1st_round(
                     pks[i].commit_key, sorted_dev, rng, mask)
                 oracles_list[i].plookup_oracles = PlookupOracles(h_polys=h_polys)

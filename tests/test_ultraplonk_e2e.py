@@ -116,3 +116,42 @@ def test_ultra_chunked_quotient_bit_equal(monkeypatch):
     p2 = s2.prove(cs, pk2, rng=random.Random(2), mask=True)
     assert p1 == p2
     s2.verify(vk2, cs.public_input(), p2)
+
+
+def test_device_sorted_indices_parity(setup):
+    """Device-side Plookup sorted indices (lexicographic multi-key sort,
+    plonk/prover.py) must reproduce the host dict-walk ordering of
+    circuit.lookup_sorted_indices bit-for-bit (reference
+    constraint_system.rs:1370-1417: lookups bind to the FIRST table row
+    holding their value)."""
+    import random as _r
+    from mpc_jellyfish_tpu.plonk.prover import Prover
+    cs, snark, pk, vk = setup
+    spec = curve.fr
+    n = cs.eval_domain_size()
+    prover = Prover(spec, n, cs.num_wire_types)
+    wv = [spec.to_device(col) for col in cs.wire_values()]
+    tau = _r.Random(3).randrange(spec.p)
+    mt_dev, ml_dev = prover.plookup_merge(pk, wv, tau)
+    idx_dev, ok = prover.plookup_sorted_indices_dev(mt_dev, ml_dev)
+    assert bool(ok)
+    host_idx = cs.lookup_sorted_indices(spec.from_device(mt_dev),
+                                        spec.from_device(ml_dev))
+    assert list(map(int, idx_dev)) == list(map(int, host_idx))
+
+
+def test_device_sorted_indices_rejects_missing(setup):
+    """ok=False when a lookup value is absent from the table."""
+    from mpc_jellyfish_tpu.plonk.prover import Prover
+    import jax.numpy as jnp
+    cs, snark, pk, vk = setup
+    spec = curve.fr
+    n = cs.eval_domain_size()
+    prover = Prover(spec, n, cs.num_wire_types)
+    wv = [spec.to_device(col) for col in cs.wire_values()]
+    mt_dev, ml_dev = prover.plookup_merge(pk, wv, 12345)
+    # corrupt one merged-lookup value so it matches no table entry
+    bad = spec.to_device([987654321])[:, 0]
+    ml_bad = ml_dev.at[:, 0].set(bad)
+    _idx, ok = prover.plookup_sorted_indices_dev(mt_dev, ml_bad)
+    assert not bool(ok)
