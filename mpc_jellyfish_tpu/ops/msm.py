@@ -408,12 +408,15 @@ def _scan_stream_pallas(spec: FieldSpec, xs_p, ys_p, valid, RB: int = 2,
 # ---------------------------------------------------------------------------
 
 def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
-                   c: int, C: int, use_pallas: bool):
+                   c: int, C: int, use_pallas: bool,
+                   return_buckets: bool = False):
     """Window sums for a chunk of jobs.
 
     x: [L, n] (or packed [L/2, n] when use_pallas); y_all likewise (y ++ -y);
     inf_mask: [n] bool; bucket: [Jc, n] i32 in [0, 2^(c-1)]; sign: [Jc, n]
-    bool.  Returns jacobian tuple of [L, Jc]."""
+    bool.  Returns jacobian tuple of [L, Jc]; with `return_buckets`, the
+    per-bucket sums [L, Jc, B] BEFORE the bucket tree (so a distributed
+    caller can split the tree across shards — parallel/sharded.py)."""
     L = spec.num_limbs
     Jc, n = bucket.shape
     B = 1 << (c - 1)
@@ -471,6 +474,8 @@ def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
     T = E.jac_add(spec, S_in, S_bp)                       # [L, Jc, B]
     inf = E.jac_infinity(spec, (Jc, B))
     T = _sel_tuple(have, T, inf)
+    if return_buckets:
+        return T                                          # [L, Jc, B]
     return _tree_sum_ec_rolled(spec, T)                   # [L, Jc]
 
 
@@ -573,6 +578,42 @@ def _msm_batch_jit(spec: FieldSpec, points, scalars, c: int, C: int,
                  for t in stacked)
     wsums = tuple(t.reshape(L, k, W) for t in flat)
     return _combine_windows(spec, wsums, c)
+
+
+def _msm_bucket_sums(spec: FieldSpec, points, scalars, c: int, C: int,
+                     use_pallas: bool):
+    """Per-window bucket sums [L, J, B] (J = k*W jobs) WITHOUT the bucket
+    tree or window combine.  Used by the distributed MSM: each shard
+    computes this over its point partition, then the O(B*J) reduction tail
+    is split across shards instead of being replicated on every one
+    (round-3 scaling_r3_20.log: the replicated tail made mesh=8 SLOWER
+    than mesh=4).  Traced inside shard_map — no jit wrapper here."""
+    x, y, inf_mask = points
+    k, Lr, n = scalars.shape
+    RB = 2
+    R0 = n // C if n % C == 0 else n // C + 1
+    R0 = (max(R0, 1) + RB - 1) // RB * RB
+    n_pad = C * R0
+    if n_pad != n:
+        pad = n_pad - n
+        x = jnp.concatenate([x, F.ones(spec, (pad,))], axis=1)
+        y = jnp.concatenate([y, F.ones(spec, (pad,))], axis=1)
+        inf_mask = jnp.concatenate(
+            [inf_mask, jnp.ones((pad,), dtype=jnp.bool_)])
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((k, Lr, pad), dtype=scalars.dtype)], axis=2)
+    W = num_windows(Lr, c)
+    bucket, sign = signed_window_digits(scalars, c)
+    J = k * W
+    bucket = bucket.reshape(J, n_pad)
+    sign = sign.reshape(J, n_pad)
+    y_all = jnp.concatenate([y, F.neg(spec, y)], axis=1)
+    if use_pallas:
+        x = _pack_rows(x)
+        y_all = _pack_rows(y_all)
+    T = _msm_job_chunk(spec, x, y_all, inf_mask, bucket, sign, c, C,
+                       use_pallas, return_buckets=True)
+    return T                                              # [L, J, B]
 
 
 # ---------------------------------------------------------------------------

@@ -159,27 +159,60 @@ def distributed_cumprod(spec: FieldSpec, x, mesh: Mesh, axis: str):
 
 
 def distributed_msm(spec: FieldSpec, points, scalars, mesh: Mesh, axis: str,
-                    c: int = 8):
+                    c: int | None = None):
     """MSM with points/scalars sharded over the trailing axis.
 
-    Local Pippenger window accumulation per shard, then an all_gather +
-    jac-tree reduction of the d per-shard window sums, then a single window
-    combine (replicated - it is O(bits) scalar work).
+    Pipeline (the round-3 version ran a FULL local Pippenger per shard and
+    all_gathered finished points, which replicated the O(B * W) bucket-tree
+    tail on every shard — total work grew with d and mesh=8 was slower than
+    mesh=4, scaling_r3_20.log):
+
+      1. per shard: bucket accumulation over the LOCAL point partition for
+         all W windows -> [L, W, B] partial bucket sums (O(n/d) scan work);
+      2. `all_to_all` over the WINDOW axis: shard j receives the d partial
+         bucket tensors for ITS W/d windows;
+      3. per shard: jac-reduce the d partials + bucket tree on W/d windows
+         (the former serial tail, now divided by d);
+      4. all_gather the [L, W/d] window sums (tiny) + replicated Horner
+         window combine (O(bits) doublings, inherent to Pippenger).
+
+    `c` defaults from the LOCAL partition size (smaller shards want smaller
+    windows — B = 2^(c-1) tail work is independent of n).
     """
     d = mesh.shape[axis]
+    n_loc = scalars.shape[-1] // d
+    if c is None:
+        c = M._pick_c(n_loc)
+    Lr = scalars.shape[0]
+    W = M.num_windows(Lr, c)
+    W_pad = (W + d - 1) // d * d
+    Wd = W_pad // d
 
     def body(xb, yb, infb, sb):
-        # full local MSM over this shard's point partition (v4 pipeline),
-        # then all_gather the d partial results and jac-tree reduce
-        n_loc = sb.shape[-1]
         C = M._pick_C(((n_loc + 127) // 128) * 128)
-        local = M._msm_batch_jit(spec, (xb, yb, infb), sb[None], c, C, False)
-        gathered = tuple(
-            jax.lax.all_gather(t, axis, axis=0, tiled=False) for t in local)
-        acc = tuple(t[0] for t in gathered)          # [L, 1]
+        T = M._msm_bucket_sums(spec, (xb, yb, infb), sb[None], c, C, False)
+        B = T[0].shape[-1]
+        L = T[0].shape[0]
+        if W_pad != W:
+            inf_pad = E.jac_infinity(spec, (W_pad - W, B))
+            T = tuple(jnp.concatenate([t, i], axis=1)
+                      for t, i in zip(T, inf_pad))
+        # window-axis shard transpose: [L, W_pad, B] -> [L, d, Wd, B] where
+        # dim 1 now indexes the SOURCE shard and dim 2 this shard's windows
+        T = tuple(t.reshape(L, d, Wd, B) for t in T)
+        T = tuple(jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=1)
+                  for t in T)
+        # reduce over source shards (log d vector adds), then bucket tree
+        acc = tuple(t[:, 0] for t in T)
         for i in range(1, d):
-            acc = E.jac_add(spec, acc, tuple(t[i] for t in gathered))
-        return acc  # [L, 1] replicated
+            acc = E.jac_add(spec, acc, tuple(t[:, i] for t in T))
+        wsum = M._tree_sum_ec_rolled(spec, acc)            # [L, Wd]
+        # gather everyone's window sums and combine (replicated tail)
+        gathered = tuple(jax.lax.all_gather(t, axis, axis=1, tiled=True)
+                         for t in wsum)                    # [L, d*Wd]
+        # device j holds windows [j*Wd, (j+1)*Wd); drop the pad, reshape
+        full = tuple(t[:, :W][:, None, :] for t in gathered)  # [L, 1, W]
+        return M._combine_windows(spec, full, c)           # [L, 1]
 
     fn = shard_map(
         body, mesh=mesh,
