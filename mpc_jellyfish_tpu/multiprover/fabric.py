@@ -63,6 +63,20 @@ class MockFabric:
         self._alpha_shares = spec.to_device([a0, a1])      # [L, 2]
         self.n_openings = 0
         self.n_triples = 0
+        # offline-phase artifacts (ark-mpc's executor gets triples from an
+        # offline Beaver source; the reference bench's mock source is even
+        # a constant): a FIFO pool filled by `preload_triples` so the
+        # ONLINE path pays no dealer work.  Order-preserving, so pooled and
+        # on-demand runs consume identical dealer randomness.
+        self._triple_pool: list = []
+        # consumption log of triple batch shapes: a warmup prove records
+        # the plan, `preload_triples(fabric.triple_log)` replays it offline
+        self.triple_log: list = []
+        # deferred MAC checks (ark-mpc lazy-graph batching): openings
+        # accumulate (value, mac) and ONE random-linear-combination check
+        # runs at end of proof — no per-round device->host sync.
+        self._defer = False
+        self._deferred: list = []
 
     # -- allocation -------------------------------------------------------
     def _share_of_values(self, values: list) -> Shared:
@@ -143,16 +157,52 @@ class MockFabric:
         spec = self.spec
         value = F.sum_reduce(spec, a.share, axis=1)
         if check:
-            # SPDZ check: sum_p mac_p - alpha * value == 0
             mac = F.sum_reduce(spec, a.mac, axis=1)
-            alpha = F.sum_reduce(spec, self._alpha_shares.reshape(
-                spec.num_limbs, 2, 1), axis=1)
-            alpha_r = alpha.reshape(
-                (spec.num_limbs,) + (1,) * (value.ndim - 1))
-            diff = F.sub(spec, mac, F.mul(spec, value, alpha_r))
-            if not bool(jnp.all(F.is_zero(spec, diff))):
-                raise ValueError("MAC check failed on opening")
+            if self._defer:
+                self._deferred.append((value, mac))
+                return value
+            self._check_items([(value, mac)])
         return value
+
+    def _check_items(self, items):
+        """SPDZ check sum_i r_i (mac_i - alpha v_i) == 0 over a batch
+        (r_i = 1 for a single immediate check)."""
+        spec = self.spec
+        alpha = F.sum_reduce(spec, self._alpha_shares.reshape(
+            spec.num_limbs, 2, 1), axis=1)
+        acc = None
+        multi = len(items) > 1
+        rng = self._rng
+        for value, mac in items:
+            v = value.reshape(spec.num_limbs, -1)
+            m = mac.reshape(spec.num_limbs, -1)
+            diff = F.sub(spec, m, F.mul(spec, v, alpha))
+            if multi:
+                r = spec.to_device(
+                    [rng.randrange(spec.p) for _ in range(v.shape[1])])
+                diff = F.mul(spec, diff, r)
+            t = F.sum_reduce(spec, diff, axis=1) if multi else diff
+            acc = t if acc is None else F.add(spec, acc, t)
+        if not bool(jnp.all(F.is_zero(spec, acc))):
+            raise ValueError("MAC check failed on opening")
+
+    # -- deferred checks + offline phase ----------------------------------
+    def begin_deferred_checks(self):
+        self._defer = True
+
+    def verify_deferred_checks(self):
+        """One RLC-batched check for every deferred opening."""
+        self._defer = False
+        items, self._deferred = self._deferred, []
+        if items:
+            self._check_items(items)
+
+    def preload_triples(self, counts: list):
+        """Offline phase: pre-draw Beaver triples for the given batch
+        SHAPES, in consumption order.  The online `_beaver_triples` pops
+        them FIFO, so pooled and on-demand runs are bit-identical."""
+        for shape in counts:
+            self._triple_pool.append(self._draw_triples(shape))
 
     def open_to_ints(self, a: Shared, check: bool = True) -> list:
         return self.spec.from_device(self.open(a, check))
@@ -179,20 +229,37 @@ class MockFabric:
         return list(jac_locals)
 
     # -- multiplication (Beaver) -------------------------------------------
-    def _beaver_triples(self, batch_shape) -> tuple:
-        """Mock triple source: dealer-generated (a, b, c=a*b) shares."""
+    def _draw_triples(self, batch_shape) -> tuple:
+        """Dealer draw of (a, b, c=a*b) shares for one batch shape."""
         import math
         n = int(math.prod(batch_shape)) if batch_shape else 1
         p = self.spec.p
         av = [self._rng.randrange(p) for _ in range(n)]
         bv = [self._rng.randrange(p) for _ in range(n)]
         cv = [x * y % p for x, y in zip(av, bv)]
-        self.n_triples += n
         return (
+            batch_shape,
             self._share_of_values(av),
             self._share_of_values(bv),
             self._share_of_values(cv),
         )
+
+    def _beaver_triples(self, batch_shape) -> tuple:
+        """Mock triple source: pooled (offline) or dealer-on-demand."""
+        import math
+        n = int(math.prod(batch_shape)) if batch_shape else 1
+        self.n_triples += n
+        self.triple_log.append(tuple(batch_shape))
+        if self._triple_pool:
+            shape, a, b, c = self._triple_pool.pop(0)
+            if shape == tuple(batch_shape):
+                return a, b, c
+            # shape mismatch: the preload plan diverged — fall through to
+            # an on-demand draw (correctness first; determinism vs pooled
+            # runs is then void)
+            self._triple_pool.insert(0, (shape, a, b, c))
+        _, a, b, c = self._draw_triples(batch_shape)
+        return a, b, c
 
     def mul(self, x: Shared, y: Shared) -> Shared:
         """Beaver multiplication: z = c + d*b + e*a + d*e,

@@ -51,6 +51,12 @@ class MultiproverPlonkKzgSnark:
         W = circuit.num_wire_types
         prover = MpcProver(fabric, spec, n, W)
 
+        # defer MAC checks to one RLC-batched end-of-proof check (ark-mpc
+        # executor semantics, SURVEY §2.7): no per-round device->host sync
+        deferred = hasattr(fabric, "begin_deferred_checks")
+        if deferred:
+            fabric.begin_deferred_checks()
+
         # open public inputs first (snark.rs:82: NETWORK)
         pub_input = circuit.public_input()
 
@@ -102,6 +108,9 @@ class MultiproverPlonkKzgSnark:
         opening, shifted = prover.opening_round(
             pk.commit_key, pk, challenges, wire_polys, z_poly, quot_polys,
             poly_evals)
+
+        if deferred:
+            fabric.verify_deferred_checks()
 
         proof = Proof(
             wires_poly_comms=wire_comms,
