@@ -359,4 +359,12 @@ def pairing_check(curve: CurveSpec, g1s: list, g2s: list) -> bool:
     if getattr(curve, "k_embed", 12) == 6:
         from . import pairing_bw6 as B6
         return multi_pairing(curve, g1s, g2s) == B6.ONE6
+    if len(g1s) == 2 and len(g2s) == 2:
+        # every single-proof verify ends in this 2-pairing check
+        # (verifier.rs:195-252): fused C path, threaded Miller loops,
+        # one shared final exp, one Python<->C crossing
+        from .utils import native as _nv
+        r = _nv.pair_check2(curve, g1s, g2s)
+        if r is not None:
+            return r
     return multi_pairing(curve, g1s, g2s) == T.F12_ONE

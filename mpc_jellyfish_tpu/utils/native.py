@@ -326,12 +326,50 @@ def multi_pairing(curve, g1s, g2s):
 
 
 def pairing_check(curve, g1s, g2s):
-    """prod e(P_i, Q_i) == 1, or None (fallback)."""
+    """prod e(P_i, Q_i) == 1, or None (fallback).
+
+    The 2-pair BN case (every single-proof verify, verifier.rs:195-252)
+    routes through the fused C entry `pair_check2`: both Miller loops run
+    on two threads and share one final exponentiation, with a single
+    Python<->C crossing instead of four."""
+    if len(g1s) == 2 and len(g2s) == 2:
+        r = pair_check2(curve, g1s, g2s)
+        if r is not None:
+            return r
     from . import fq_tower as T
     r = multi_pairing(curve, g1s, g2s)
     if r is None:
         return None
     return r == T.F12_ONE
+
+
+def pair_check2(curve, g1s, g2s):
+    """e(P1,Q1)*e(P2,Q2) == 1 via the fused threaded C path, or None."""
+    got = _get_ctx(curve)
+    if got is None:
+        return None
+    mod, ctx = got
+    if not hasattr(mod, "pair_check2"):
+        return None
+    consts = _pairing_constants(curve, mod)
+    if consts is None:
+        return None
+    kind, sbits, use_twist, m_twist, b2b, frob, _db = consts
+    if kind != 2 or not use_twist:
+        return None                      # BN-only fast path
+    if any(getattr(q, "inf", False) for q in g2s):
+        return None                      # infinite G2: generic path
+    def _p65(pt):
+        if pt.inf:
+            return b"\x00" * 64 + b"\x01"
+        return _i2b(pt.x) + _i2b(pt.y) + b"\x00"
+    pts = b"".join(_p65(p_) for p_ in g1s)
+    qs = b"".join(_i2b(q.x[0]) + _i2b(q.x[1]) + _i2b(q.y[0]) + _i2b(q.y[1])
+                  for q in g2s)
+    x = curve.x_param
+    xb = bytes(int(b) for b in bin(abs(x))[2:])
+    return bool(mod.pair_check2(ctx, kind, m_twist, sbits, b2b, pts, qs,
+                                frob, xb, 1 if x < 0 else 0))
 
 
 def fixed_base_powers(p: int, g, scalars):

@@ -1094,6 +1094,59 @@ static void tw_line_mul(const fctx *c, int m_twist, f12 *f,
    kind: 0 = plain, 1 = conjugate at end (negative-x BLS),
          2 = BN: two extra add steps with q1 = pi(Q), q2 = -pi^2(Q);
    frob = A1 | B1 (Fq2 psi-map constants, 64B each) for kind 2 (else 0B). */
+/* core of the projective twist-side Miller loop; A1/B1 only read for
+ * kind 2 (BN frobenius correction) */
+static void miller_twist_core(const fctx *c, int kind, int m_twist,
+                              const uint8_t *bits, Py_ssize_t nbits,
+                              const f2 *b2, const fe *xP, const fe *yP,
+                              const f2 *qx, const f2 *qy,
+                              const f2 *A1, const f2 *B1, f12 *out) {
+    g2p T;
+    T.X = *qx;
+    T.Y = *qy;
+    f2 one2;
+    memset(&one2, 0, sizeof one2);
+    one2.c0 = c->one;
+    T.Z = one2;
+
+    f12 f;
+    f12_one(c, &f);
+    f2 la, lb, lc;
+    for (Py_ssize_t i = 1; i < nbits; i++) {
+        f12 fs;
+        f12_sqr(c, &fs, &f);
+        f = fs;
+        tw_dbl(c, b2, &T, &la, &lb, &lc);
+        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, xP, yP);
+        if (bits[i]) {
+            tw_add(c, &T, qx, qy, &la, &lb, &lc);
+            tw_line_mul(c, m_twist, &f, &la, &lb, &lc, xP, yP);
+        }
+    }
+    if (kind == 1) {
+        f12 t;
+        f12_conj(c, &t, &f);
+        f = t;
+    } else if (kind == 2) {
+        f2 q1x, q1y, q2x, q2y, t;
+        /* q1 = (conj(x) A1, conj(y) B1); q2 = -pi(q1) */
+        f2_conj(c, &t, qx);
+        f2_mul(c, &q1x, &t, A1);
+        f2_conj(c, &t, qy);
+        f2_mul(c, &q1y, &t, B1);
+        f2_conj(c, &t, &q1x);
+        f2_mul(c, &q2x, &t, A1);
+        f2_conj(c, &t, &q1y);
+        f2_mul(c, &t, &t, B1);
+        f2_neg(c, &q2y, &t);
+        tw_add(c, &T, &q1x, &q1y, &la, &lb, &lc);
+        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, xP, yP);
+        tw_add(c, &T, &q2x, &q2y, &la, &lb, &lc);
+        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, xP, yP);
+    }
+    *out = f;
+}
+
 static PyObject *py_miller_twist(PyObject *self, PyObject *args) {
     PyObject *cap;
     int kind, m_twist;
@@ -1107,8 +1160,10 @@ static PyObject *py_miller_twist(PyObject *self, PyObject *args) {
         PyErr_SetString(PyExc_ValueError, "miller_twist: bad buffer sizes");
         return NULL;
     }
-    f2 b2, qx, qy;
+    f2 b2, qx, qy, A1, B1;
     fe xP, yP;
+    memset(&A1, 0, sizeof A1);
+    memset(&B1, 0, sizeof B1);
     fe_from_bytes(c, &b2.c0, (const uint8_t *)b2b.buf);
     fe_from_bytes(c, &b2.c1, (const uint8_t *)b2b.buf + 32);
     fe_from_bytes(c, &xP, (const uint8_t *)pb.buf);
@@ -1117,55 +1172,15 @@ static PyObject *py_miller_twist(PyObject *self, PyObject *args) {
     fe_from_bytes(c, &qx.c1, (const uint8_t *)qb.buf + 32);
     fe_from_bytes(c, &qy.c0, (const uint8_t *)qb.buf + 64);
     fe_from_bytes(c, &qy.c1, (const uint8_t *)qb.buf + 96);
-
-    g2p T;
-    T.X = qx;
-    T.Y = qy;
-    f2 one2;
-    memset(&one2, 0, sizeof one2);
-    one2.c0 = c->one;
-    T.Z = one2;
-
-    f12 f;
-    f12_one(c, &f);
-    f2 la, lb, lc;
-    const uint8_t *bits = (const uint8_t *)sbits.buf;
-    for (Py_ssize_t i = 1; i < sbits.len; i++) {
-        f12 fs;
-        f12_sqr(c, &fs, &f);
-        f = fs;
-        tw_dbl(c, &b2, &T, &la, &lb, &lc);
-        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, &xP, &yP);
-        if (bits[i]) {
-            tw_add(c, &T, &qx, &qy, &la, &lb, &lc);
-            tw_line_mul(c, m_twist, &f, &la, &lb, &lc, &xP, &yP);
-        }
-    }
-    if (kind == 1) {
-        f12 t;
-        f12_conj(c, &t, &f);
-        f = t;
-    } else if (kind == 2) {
-        f2 A1, B1, q1x, q1y, q2x, q2y, t;
+    if (kind == 2) {
         fe_from_bytes(c, &A1.c0, (const uint8_t *)fr.buf);
         fe_from_bytes(c, &A1.c1, (const uint8_t *)fr.buf + 32);
         fe_from_bytes(c, &B1.c0, (const uint8_t *)fr.buf + 64);
         fe_from_bytes(c, &B1.c1, (const uint8_t *)fr.buf + 96);
-        /* q1 = (conj(x) A1, conj(y) B1); q2 = -pi(q1) */
-        f2_conj(c, &t, &qx);
-        f2_mul(c, &q1x, &t, &A1);
-        f2_conj(c, &t, &qy);
-        f2_mul(c, &q1y, &t, &B1);
-        f2_conj(c, &t, &q1x);
-        f2_mul(c, &q2x, &t, &A1);
-        f2_conj(c, &t, &q1y);
-        f2_mul(c, &t, &t, &B1);
-        f2_neg(c, &q2y, &t);
-        tw_add(c, &T, &q1x, &q1y, &la, &lb, &lc);
-        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, &xP, &yP);
-        tw_add(c, &T, &q2x, &q2y, &la, &lb, &lc);
-        tw_line_mul(c, m_twist, &f, &la, &lb, &lc, &xP, &yP);
     }
+    f12 f;
+    miller_twist_core(c, kind, m_twist, (const uint8_t *)sbits.buf,
+                      sbits.len, &b2, &xP, &yP, &qx, &qy, &A1, &B1, &f);
     uint8_t out[768];
     f12_to_bytes(c, out, &f);
     PyBuffer_Release(&sbits);
@@ -1314,21 +1329,10 @@ static PyObject *py_final_exp(PyObject *self, PyObject *args) {
  * BN-family final exponentiation with the Devegili et al. x-chain hard
  * part (the ark-bn254 chain) and Granger-Scott cyclotomic squarings:
  * ~3x fewer f12 ops than the generic base-p multi-exp in py_final_exp. */
-static PyObject *py_final_exp_bn(PyObject *self, PyObject *args) {
-    PyObject *cap;
-    Py_buffer fb, xb;
-    int x_neg;
-    if (!PyArg_ParseTuple(args, "Oy*y*i", &cap, &fb, &xb, &x_neg))
-        return NULL;
-    fctx *c = get_ctx(cap);
-    if (fb.len != 768 || xb.len < 1) {
-        PyErr_SetString(PyExc_ValueError, "final_exp_bn: bad buffer sizes");
-        PyBuffer_Release(&fb);
-        PyBuffer_Release(&xb);
-        return NULL;
-    }
-    f12 f;
-    f12_from_bytes(c, &f, (const uint8_t *)fb.buf);
+static void final_exp_bn_core(const fctx *c, const f12 *fin,
+                              const uint8_t *bits, Py_ssize_t nb,
+                              int x_neg, f12 *out) {
+    f12 f = *fin;
     /* easy: r = frob^2(conj(f) * inv(f)) * (conj(f) * inv(f)) */
     f12 fi, fc, m, r;
     f12_inv(c, &fi, &f);
@@ -1342,8 +1346,6 @@ static PyObject *py_final_exp_bn(PyObject *self, PyObject *args) {
      *          + (-36x^3-30x^2-18x-2)
      * (verified as an integer identity for the BN parametrization).
      * exp_by_x(g) = g^x with x's sign honored via conjugation. */
-    const uint8_t *bits = (const uint8_t *)xb.buf;
-    Py_ssize_t nb = xb.len;
 #define EXP_BY_X(dst, src) do { \
         f12_cyclo_exp_bits(c, &(dst), &(src), bits, nb); \
         if (x_neg) f12_conj(c, &(dst), &(dst)); \
@@ -1397,11 +1399,130 @@ static PyObject *py_final_exp_bn(PyObject *self, PyObject *args) {
     f12_mul(c, &t, &t, &u);
     f12_mul(c, &t, &t, &p0);
 #undef EXP_BY_X
+    *out = t;
+}
+
+static PyObject *py_final_exp_bn(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer fb, xb;
+    int x_neg;
+    if (!PyArg_ParseTuple(args, "Oy*y*i", &cap, &fb, &xb, &x_neg))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    if (fb.len != 768 || xb.len < 1) {
+        PyErr_SetString(PyExc_ValueError, "final_exp_bn: bad buffer sizes");
+        PyBuffer_Release(&fb);
+        PyBuffer_Release(&xb);
+        return NULL;
+    }
+    f12 f, t;
+    f12_from_bytes(c, &f, (const uint8_t *)fb.buf);
+    final_exp_bn_core(c, &f, (const uint8_t *)xb.buf, xb.len, x_neg, &t);
     uint8_t out[768];
     f12_to_bytes(c, out, &t);
     PyBuffer_Release(&fb);
     PyBuffer_Release(&xb);
     return PyBytes_FromStringAndSize((const char *)out, 768);
+}
+
+/* ------------------------------------------------------------------ */
+/* pair_check2: e(P1, Q1) * e(P2, Q2) == 1 with the two Miller loops   */
+/* on two threads and one shared BN final exponentiation.  The single- */
+/* proof verifier tail (verifier.rs:195-252's 2-pairing check) calls   */
+/* this once per verify; fusing it into one C call removes 3 ctypes    */
+/* crossings + Python f12 tuple conversions and overlaps the Millers.  */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const fctx *c;
+    int kind, m_twist;
+    const uint8_t *bits;
+    Py_ssize_t nbits;
+    const f2 *b2;
+    fe xP, yP;
+    f2 qx, qy;
+    const f2 *A1, *B1;
+    int inf;           /* P at infinity: contribute f = 1 */
+    f12 out;
+} miller_task;
+
+static void *miller_worker(void *arg) {
+    miller_task *t = (miller_task *)arg;
+    if (t->inf)
+        f12_one(t->c, &t->out);
+    else
+        miller_twist_core(t->c, t->kind, t->m_twist, t->bits, t->nbits,
+                          t->b2, &t->xP, &t->yP, &t->qx, &t->qy,
+                          t->A1, t->B1, &t->out);
+    return NULL;
+}
+
+/* pair_check2(ctx, kind, m_twist, sbits, b2 64, pts 130B (A|infA|B|infB
+ * as 2x(64B xy + 1B inf)), qs 256B (Q1 | Q2), frob 128B (kind 2),
+ * xbits, x_neg) -> bool.  Only kind 2 (BN final exp) supported; other
+ * kinds raise so the caller falls back to the generic path. */
+static PyObject *py_pair_check2(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    int kind, m_twist, x_neg;
+    Py_buffer sbits, b2b, pts, qs, fr, xb;
+    if (!PyArg_ParseTuple(args, "Oiiy*y*y*y*y*y*i", &cap, &kind, &m_twist,
+                          &sbits, &b2b, &pts, &qs, &fr, &xb, &x_neg))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    if (b2b.len != 64 || pts.len != 130 || qs.len != 256 || kind != 2 ||
+        fr.len != 128 || xb.len < 1) {
+        PyErr_SetString(PyExc_ValueError, "pair_check2: bad buffers/kind");
+        PyBuffer_Release(&sbits); PyBuffer_Release(&b2b);
+        PyBuffer_Release(&pts); PyBuffer_Release(&qs);
+        PyBuffer_Release(&fr); PyBuffer_Release(&xb);
+        return NULL;
+    }
+    f2 b2, A1, B1;
+    fe_from_bytes(c, &b2.c0, (const uint8_t *)b2b.buf);
+    fe_from_bytes(c, &b2.c1, (const uint8_t *)b2b.buf + 32);
+    fe_from_bytes(c, &A1.c0, (const uint8_t *)fr.buf);
+    fe_from_bytes(c, &A1.c1, (const uint8_t *)fr.buf + 32);
+    fe_from_bytes(c, &B1.c0, (const uint8_t *)fr.buf + 64);
+    fe_from_bytes(c, &B1.c1, (const uint8_t *)fr.buf + 96);
+
+    miller_task tk[2];
+    const uint8_t *pb = (const uint8_t *)pts.buf;
+    const uint8_t *qb = (const uint8_t *)qs.buf;
+    for (int i = 0; i < 2; i++) {
+        tk[i].c = c;
+        tk[i].kind = kind;
+        tk[i].m_twist = m_twist;
+        tk[i].bits = (const uint8_t *)sbits.buf;
+        tk[i].nbits = sbits.len;
+        tk[i].b2 = &b2;
+        tk[i].A1 = &A1;
+        tk[i].B1 = &B1;
+        fe_from_bytes(c, &tk[i].xP, pb + 65 * i);
+        fe_from_bytes(c, &tk[i].yP, pb + 65 * i + 32);
+        tk[i].inf = pb[65 * i + 64];
+        fe_from_bytes(c, &tk[i].qx.c0, qb + 128 * i);
+        fe_from_bytes(c, &tk[i].qx.c1, qb + 128 * i + 32);
+        fe_from_bytes(c, &tk[i].qy.c0, qb + 128 * i + 64);
+        fe_from_bytes(c, &tk[i].qy.c1, qb + 128 * i + 96);
+    }
+    int ok;
+    Py_BEGIN_ALLOW_THREADS
+    pthread_t th;
+    int threaded = pthread_create(&th, NULL, miller_worker, &tk[1]) == 0;
+    miller_worker(&tk[0]);
+    if (threaded)
+        pthread_join(th, NULL);
+    else
+        miller_worker(&tk[1]);
+    f12 f, r;
+    f12_mul(c, &f, &tk[0].out, &tk[1].out);
+    final_exp_bn_core(c, &f, (const uint8_t *)xb.buf, xb.len, x_neg, &r);
+    ok = f12_is_one(c, &r);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&sbits); PyBuffer_Release(&b2b);
+    PyBuffer_Release(&pts); PyBuffer_Release(&qs);
+    PyBuffer_Release(&fr); PyBuffer_Release(&xb);
+    return PyBool_FromLong(ok);
 }
 
 /* pcs_scalars_batch(ctx_fr, k 5*32B, log_n, gen 32B, npi, jobs) -> bytes
@@ -2174,6 +2295,8 @@ static PyMethodDef methods[] = {
     {"batch_opening_msm", py_batch_opening_msm, METH_VARARGS,
      "fused batch opening-proof aggregation (A,B MSMs)"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
+    {"pair_check2", py_pair_check2, METH_VARARGS,
+     "e(P1,Q1)*e(P2,Q2) == 1 (threaded Millers + BN final exp)"},
     {"keccak256", py_keccak256, METH_VARARGS, "Keccak-256 (eth padding)"},
     {"challenge_chain", py_challenge_chain, METH_VARARGS,
      "Solidity-transcript challenge chains, batched + threaded"},
