@@ -1123,7 +1123,6 @@ class Prover:
         for _ in polys:
             vpow.append(cur)
             cur = cur * v % p
-        batch = self._scale_sum(polys, vpow, n3)
 
         polys2 = []
         for pk, oracles in zip(pks, oracles_list):
@@ -1141,8 +1140,45 @@ class Prover:
         for _ in polys2:
             vpow2.append(cur)
             cur = cur * v % p
-        batch2 = self._scale_sum(polys2, vpow2, n3)
 
+        if self._fusable:
+            # fused: both v-power linear combinations + both (X - z)
+            # divisions + MSM scalar prep in ONE executable, then one
+            # batched MSM (prover.rs:362-425 in two dispatches)
+            nck = ck.powers_of_g[0].shape[1]
+            cv = upload(spec, vpow + vpow2 + [zeta,
+                                              zeta * self.domain.w % p])
+            k1 = len(polys)
+            k2 = len(polys2)
+
+            def pad(c):
+                k = n3 - c.shape[1]
+                return c if k == 0 else jnp.concatenate(
+                    [c, F.zeros(spec, (k,))], axis=1)
+
+            def fn(g1_, g2_, cv_):
+                s1 = jnp.stack([pad(c) for c in g1_], axis=1)
+                s2 = jnp.stack([pad(c) for c in g2_], axis=1)
+                b1 = F.sum_reduce(spec, F.mul(
+                    spec, s1, cv_[:, :k1, None]), axis=1)
+                b2 = F.sum_reduce(spec, F.mul(
+                    spec, s2, cv_[:, k1:k1 + k2, None]), axis=1)
+                q1, _ = P.divide_by_linear(spec, b1, cv_[:, k1 + k2])
+                q2, _ = P.divide_by_linear(spec, b2, cv_[:, k1 + k2 + 1])
+                st = jnp.stack([q1, q2], axis=1)
+                return self._msm_scalars(spec, st, nck)
+
+            from ..utils.aot_cache import cached_jit
+            lens = "_".join(str(c.shape[1]) for c in polys + polys2)
+            args = (tuple(polys), tuple(polys2), cv)
+            f = cached_jit(f"r5-{spec.name}-n{self.n}-k{k1}.{k2}-nck{nck}"
+                           f"-{lens}", fn, *args, deps=("poly", "prover"))
+            sc = f(*args)
+            comms = kzg.commit_batch_stacked(ck, sc)
+            return comms[0], comms[1]
+
+        batch = self._scale_sum(polys, vpow, n3)
+        batch2 = self._scale_sum(polys2, vpow2, n3)
         pts = upload(spec, [zeta, zeta * self.domain.w % p])
         q1, _ = self.be.divide_by_linear(spec, batch, pts[:, 0])
         q2, _ = self.be.divide_by_linear(spec, batch2, pts[:, 1])
