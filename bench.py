@@ -139,10 +139,13 @@ def bench_size(curve, log_n: int, reps: int, srs=None):
         times.append(time.time() - t0)
         log(f"prove[{r}]: {times[-1]:.2f}s")
 
-    t0 = time.time()
-    snark.verify(vk, cs.public_input(), proof)
-    tv = time.time() - t0
-    log(f"verify: {tv:.3f}s (proof accepted)")
+    # steady-state verify (reference bench.md:15 is a criterion hot loop)
+    tv = 1e9
+    for _ in range(10):
+        t0 = time.time()
+        snark.verify(vk, cs.public_input(), proof)
+        tv = min(tv, time.time() - t0)
+    log(f"verify: {tv*1e3:.2f} ms hot (proof accepted)")
     return n, min(times), tv, srs
 
 

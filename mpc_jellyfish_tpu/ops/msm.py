@@ -82,17 +82,18 @@ def signed_window_digits(scalars: jnp.ndarray, c: int):
         u_limbs.append((t & 0xFFFF).astype(I32))
     u_pad = jnp.stack(u_limbs + [u_limbs[0] * 0], axis=1)   # [k, Lp+1, n]
 
-    buckets, signs = [], []
-    for w in range(W):
-        bit = c * w
-        j, off = bit // 16, bit % 16
-        d = u_pad[:, j] >> off
-        if off:
-            d = d | (u_pad[:, j + 1] << (16 - off))
-        dd = (d & (full - 1)) - half
-        buckets.append(jnp.abs(dd))
-        signs.append(dd < 0)
-    return jnp.stack(buckets, axis=1), jnp.stack(signs, axis=1)
+    # all W windows in two gathers + broadcast shifts (the per-window
+    # slice/stack form compiled to ~26ms of strided writes at 2^16 k=6 on
+    # v5e; a take along the tiny limb axis streams instead)
+    jw = np.array([c * w // 16 for w in range(W)], dtype=np.int32)
+    off = jnp.asarray([c * w % 16 for w in range(W)], dtype=I32)[None, :,
+                                                                 None]
+    lo = jnp.take(u_pad, jnp.asarray(jw), axis=1)           # [k, W, n]
+    hi = jnp.take(u_pad, jnp.asarray(jw + 1), axis=1)
+    # off == 0 -> hi << 16 contributes nothing after the & (full-1) mask
+    d = (lo >> off) | (hi << (16 - off))
+    dd = (d & (full - 1)) - half
+    return jnp.abs(dd), dd < 0
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +322,210 @@ def _madd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L, acc, x2, y2, valid,
     return newX, newY, newZ
 
 
+def _jacadd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L, A, B):
+    """Complete Jacobian + Jacobian addition on limb lists (kernel math).
+
+    Mirrors `ec.jac_add` (same formulas -> same group element; coordinate
+    representatives may differ, which normalizes away in jac_to_affine).
+    Each operand is a tuple of 3 lists of (sublane, lane) u32 vectors."""
+    from .pallas_field import _mm_vecs, _add_vecs, _sub_vecs
+
+    def mm(a, b):
+        return _mm_vecs(P_LIMBS, N0INV, L, a, b)
+
+    def addv(a, b):
+        return _add_vecs(P_LIMBS, L, a, b)
+
+    def subv(a, b):
+        return _sub_vecs(P_LIMBS, L, a, b)
+
+    def iszero(a):
+        z = (a[0] == 0)
+        for t in a[1:]:
+            z = z & (t == 0)
+        return z
+
+    def selv(cond, a, b):
+        return [jnp.where(cond, ai, bi) for ai, bi in zip(a, b)]
+
+    X1, Y1, Z1 = A
+    X2, Y2, Z2 = B
+    Z1Z1 = mm(Z1, Z1)
+    Z2Z2 = mm(Z2, Z2)
+    U1 = mm(X1, Z2Z2)
+    U2 = mm(X2, Z1Z1)
+    S1 = mm(Y1, mm(Z2, Z2Z2))
+    S2 = mm(Y2, mm(Z1, Z1Z1))
+    H = subv(U2, U1)
+    Rr = subv(S2, S1)
+    HH = mm(H, H)
+    HHH = mm(H, HH)
+    V = mm(U1, HH)
+    RR = mm(Rr, Rr)
+    X3 = subv(subv(RR, HHH), addv(V, V))
+    Y3 = subv(mm(Rr, subv(V, X3)), mm(S1, HHH))
+    Z3 = mm(mm(Z1, Z2), H)
+
+    # doubling path (dbl-2009-l, a = 0) for A == B
+    Aq = mm(X1, X1)
+    Bq = mm(Y1, Y1)
+    Cc = mm(Bq, Bq)
+    XB = addv(X1, Bq)
+    T2 = mm(XB, XB)
+    D = subv(subv(T2, Aq), Cc)
+    D = addv(D, D)
+    Ee = addv(addv(Aq, Aq), Aq)
+    Ff = mm(Ee, Ee)
+    X3d = subv(Ff, addv(D, D))
+    C8 = addv(Cc, Cc)
+    C8 = addv(C8, C8)
+    C8 = addv(C8, C8)
+    Y3d = subv(mm(Ee, subv(D, X3d)), C8)
+    YZ = mm(Y1, Z1)
+    Z3d = addv(YZ, YZ)
+
+    a_inf = iszero(Z1)
+    b_inf = iszero(Z2)
+    h0 = iszero(H)
+    r0 = iszero(Rr)
+    one = [jnp.full_like(X1[0], np.uint32(v)) for v in ONE_MONT]
+    zero = [jnp.zeros_like(X1[0]) for _ in range(L)]
+
+    nX = selv(h0 & r0, X3d, X3)
+    nY = selv(h0 & r0, Y3d, Y3)
+    nZ = selv(h0 & r0, Z3d, Z3)
+    inv = h0 & ~r0
+    nX = selv(inv, one, nX)
+    nY = selv(inv, one, nY)
+    nZ = selv(inv, zero, nZ)
+    nX = selv(b_inf, X1, nX)
+    nY = selv(b_inf, Y1, nY)
+    nZ = selv(b_inf, Z1, nZ)
+    nX = selv(a_inf, X2, nX)
+    nY = selv(a_inf, Y2, nY)
+    nZ = selv(a_inf, Z2, nZ)
+    return nX, nY, nZ
+
+
+def _make_bucket_tail_kernel(spec: FieldSpec, BB: int, JB: int,
+                             nb_blocks: int):
+    """Fused bucket tail: T = select(have, S_in + S_bp, inf), then the full
+    bucket-tree reduction — all in VMEM.
+
+    The XLA version of this tail is latency-bound, not compute-bound: each
+    tree level is a chain of ~16 rolled Montgomery steps on shrinking
+    tensors, and every small sequential step costs ~10-30us of device
+    dispatch (measured round 4: ~50-76ms per MSM batch for ~2ms of flops).
+
+    Compile-surface design: the grid's second axis walks the bucket range
+    in BB-lane blocks and ACCUMULATES into a VMEM scratch (one jacadd
+    inline, like the scan kernel's R axis); only the last block pays the
+    log2(BB) unrolled lane-fold levels.  Total jacadd inlines =
+    2 + log2(BB) — independent of B."""
+    L = spec.num_limbs
+    H = L // 2
+    P_LIMBS = tuple(np.uint32(v) for v in spec.p_limbs)
+    N0INV = np.uint32(spec.n0inv)
+    ONE_MONT = tuple(np.uint32(v) for v in spec.mont_one_np)
+    MASK = np.uint32(0xFFFF)
+
+    def unpack_arr(ref):
+        out = []
+        for i in range(H):
+            v = ref[i]
+            out.append(v & MASK)
+            out.append(v >> 16)
+        return out
+
+    def kernel(sx_ref, sy_ref, sz_ref, bx_ref, by_ref, bz_ref, have_ref,
+               ox_ref, oy_ref, oz_ref, ax, ay, az):
+        import jax.experimental.pallas as pl
+        b_blk = pl.program_id(1)
+
+        Sin = (unpack_arr(sx_ref), unpack_arr(sy_ref), unpack_arr(sz_ref))
+        Sbp = (unpack_arr(bx_ref), unpack_arr(by_ref), unpack_arr(bz_ref))
+        X, Y, Z = _jacadd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L, Sin, Sbp)
+        have = have_ref[...] > 0
+        one = [jnp.full_like(X[0], np.uint32(v)) for v in ONE_MONT]
+        X = [jnp.where(have, x, o) for x, o in zip(X, one)]
+        Y = [jnp.where(have, y, o) for y, o in zip(Y, one)]
+        Z = [jnp.where(have, z, jnp.zeros_like(z)) for z in Z]
+
+        @pl.when(b_blk == 0)
+        def _init():
+            for i in range(L):
+                ax[i] = X[i]
+                ay[i] = Y[i]
+                az[i] = Z[i]
+
+        @pl.when(b_blk > 0)
+        def _acc():
+            acc = ([ax[i] for i in range(L)], [ay[i] for i in range(L)],
+                   [az[i] for i in range(L)])
+            nX, nY, nZ = _jacadd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L,
+                                             acc, (X, Y, Z))
+            for i in range(L):
+                ax[i] = nX[i]
+                ay[i] = nY[i]
+                az[i] = nZ[i]
+
+        @pl.when(b_blk == nb_blocks - 1)
+        def _fold():
+            Xf = [ax[i] for i in range(L)]
+            Yf = [ay[i] for i in range(L)]
+            Zf = [az[i] for i in range(L)]
+            w = BB
+            while w > 1:
+                half = w // 2
+                Aop = ([x[:, :half] for x in Xf], [y[:, :half] for y in Yf],
+                       [z[:, :half] for z in Zf])
+                Bop = ([x[:, half:w] for x in Xf], [y[:, half:w] for y in Yf],
+                       [z[:, half:w] for z in Zf])
+                Xf, Yf, Zf = _jacadd_kernel_math(P_LIMBS, N0INV, ONE_MONT, L,
+                                                 Aop, Bop)
+                w = half
+            for i in range(H):
+                ox_ref[i] = Xf[2 * i] | (Xf[2 * i + 1] << 16)
+                oy_ref[i] = Yf[2 * i] | (Yf[2 * i + 1] << 16)
+                oz_ref[i] = Zf[2 * i] | (Zf[2 * i + 1] << 16)
+
+    return kernel
+
+
+def _bucket_tail_pallas(spec: FieldSpec, S_in, S_bp, have, JB: int = 8,
+                        BB: int = 128):
+    """S_in, S_bp: packed jac tuples of [L/2, J, B]; have: [J, B] bool.
+    Returns the per-job tree sum as a packed jac tuple of [L/2, J, 1]."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    L = spec.num_limbs
+    H = L // 2
+    _, J, B = S_in[0].shape
+    BB = min(BB, B)
+    assert J % JB == 0 and B % BB == 0
+    nb = B // BB
+    kernel = _make_bucket_tail_kernel(spec, BB, JB, nb)
+    grid = (J // JB, nb)
+    blk = lambda j, b: (0, j, b)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((H, J, 1), U32)] * 3,
+        grid=grid,
+        in_specs=[pl.BlockSpec((H, JB, BB), blk,
+                               memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec((JB, BB), lambda j, b: (j, b),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((H, JB, 1), lambda j, b: (0, j, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((L, JB, BB), U32),
+            pltpu.VMEM((L, JB, BB), U32),
+            pltpu.VMEM((L, JB, BB), U32),
+        ],
+    )(*S_in, *S_bp, have.astype(U32))
+    return out
+
+
 def _pack_rows(t: jnp.ndarray) -> jnp.ndarray:
     """[L, ...] u32 16-bit limbs -> [L/2, ...] u32 (two limbs per word).
 
@@ -360,6 +565,7 @@ def _make_scan_kernel(spec: FieldSpec, RB: int):
     def kernel(xs_ref, ys_ref, val_ref, ox_ref, oy_ref, oz_ref,
                accx, accy, accz):
         import jax.experimental.pallas as pl
+        from .pallas_field import _neg_vecs
         r_blk = pl.program_id(1)
 
         @pl.when(r_blk == 0)
@@ -372,7 +578,15 @@ def _make_scan_kernel(spec: FieldSpec, RB: int):
         for rb in range(RB):
             x2 = unpack(xs_ref, rb)
             y2 = unpack(ys_ref, rb)
-            valid = val_ref[rb] > 0
+            # vs encodes validity and the signed-digit negation: bit0 =
+            # valid, bit1 = negate (in-kernel p - y costs ~L subs per madd
+            # vs the old gather from a 2n-column y/-y table, which DOUBLED
+            # the gather stage's HBM index traffic)
+            vs = val_ref[rb]
+            valid = (vs & 1) > 0
+            neg = vs >= 2
+            y2n = _neg_vecs(P_LIMBS, L, y2)
+            y2 = [jnp.where(neg, n_, y_) for n_, y_ in zip(y2n, y2)]
             acc = ([accx[i] for i in range(L)],
                    [accy[i] for i in range(L)],
                    [accz[i] for i in range(L)])
@@ -429,12 +643,16 @@ def _scan_stream_pallas(spec: FieldSpec, xs_p, ys_p, valid, RB: int = 2,
 # per-chunk job processing
 # ---------------------------------------------------------------------------
 
-def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
+def _msm_job_chunk(spec: FieldSpec, xy, inf_mask, bucket, sign,
                    c: int, C: int, use_pallas: bool,
                    return_buckets: bool = False):
     """Window sums for a chunk of jobs.
 
-    x: [L, n] (or packed [L/2, n] when use_pallas); y_all likewise (y ++ -y);
+    xy: x and y stacked on the limb axis, [2L, n] (packed [L, n] when
+    use_pallas) — ONE gather moves both coordinates (the separate x / y
+    takes cost ~2.5x the combined one: the gather is index-overhead
+    bound, not byte bound); the signed-digit negation happens inside the
+    scan kernel instead of via a doubled y/-y table.
     inf_mask: [n] bool; bucket: [Jc, n] i32 in [0, 2^(c-1)]; sign: [Jc, n]
     bool.  Returns jacobian tuple of [L, Jc]; with `return_buckets`, the
     per-bucket sums [L, Jc, B] BEFORE the bucket tree (so a distributed
@@ -453,21 +671,24 @@ def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
     b_desc = -kneg                                        # [Jc, n] descending
 
     idx = val >> 1
-    y_idx = idx + (val & 1) * n
-    xs = jnp.take(x, idx, axis=1)                         # [Lx, Jc, n]
-    ys = jnp.take(y_all, y_idx, axis=1)
+    g = jnp.take(xy, idx, axis=1)                         # [2Lx, Jc, n]
+    Lx = g.shape[0] // 2
+    xs, ys = g[:Lx], g[Lx:]
     valid = b_desc > 0                                    # [Jc, n]
+    # vs plane: bit0 = valid, bit1 = negate y (signed digit)
+    vv_full = valid.astype(I32) + 2 * (valid & ((val & 1) > 0)).astype(I32)
 
     # layout [Lx, R, Jc, C]: sorted index i = l*R + r  (lane-major chunks)
-    Lx = xs.shape[0]
     xs = jnp.moveaxis(xs.reshape(Lx, Jc, C, R), 3, 1)
     ys = jnp.moveaxis(ys.reshape(Lx, Jc, C, R), 3, 1)
-    vv = jnp.moveaxis(valid.reshape(Jc, C, R), 2, 0)      # [R, Jc, C]
+    vv = jnp.moveaxis(vv_full.reshape(Jc, C, R), 2, 0)    # [R, Jc, C] i32
 
     if use_pallas:
         stream = _scan_stream_pallas(spec, xs, ys, vv)    # packed [L/2,...]
     else:
-        stream = _scan_stream_xla(spec, xs, ys, vv)
+        # XLA path: apply the signed-digit negation vectorized up front
+        ys = jnp.where((vv >= 2)[None], F.neg(spec, ys), ys)
+        stream = _scan_stream_xla(spec, xs, ys, vv > 0)
 
     # exclusive prefix of lane totals along C (small: unpack if needed)
     totals = tuple(t[:, R - 1] for t in stream)           # [Lx, Jc, C]
@@ -489,6 +710,15 @@ def _msm_job_chunk(spec: FieldSpec, x, y_all, inf_mask, bucket, sign,
 
     S_in = tuple(jnp.take(t.reshape(Lx, R * Jc * C), flat_stream.reshape(-1),
                           axis=1).reshape(Lx, Jc, B) for t in stream)
+    if use_pallas and not return_buckets and Jc % 8 == 0:
+        # fused Pallas tail: S_in + S_bp, have-select and the whole bucket
+        # tree in one kernel (the XLA tail is sequential-small-op latency
+        # bound: ~50-76ms per batch for ~2ms of flops)
+        S_bp_p = tuple(_pack_rows(
+            jnp.take(t.reshape(L, Jc * C), flat_pref.reshape(-1),
+                     axis=1).reshape(L, Jc, B)) for t in blockpref)
+        res = _bucket_tail_pallas(spec, S_in, S_bp_p, have)
+        return tuple(_unpack_rows(t[..., 0]) for t in res)  # [L, Jc]
     if use_pallas:
         S_in = tuple(_unpack_rows(t) for t in S_in)
     S_bp = tuple(jnp.take(t.reshape(L, Jc * C), flat_pref.reshape(-1),
@@ -572,24 +802,23 @@ def _msm_batch_jit(spec: FieldSpec, points, scalars, c: int, C: int,
         sign = jnp.concatenate(
             [sign, jnp.zeros((J_pad - J, n_pad), dtype=jnp.bool_)], axis=0)
 
-    y_all = jnp.concatenate([y, F.neg(spec, y)], axis=1)  # [L, 2 n_pad]
+    xy = jnp.concatenate([x, y], axis=0)                  # [2L, n_pad]
     if use_pallas:
         # move points through HBM packed (two 16-bit limbs per u32)
-        x = _pack_rows(x)
-        y_all = _pack_rows(y_all)
+        xy = _pack_rows(xy)
 
     nchunks = J_pad // Jc
     bucket = bucket.reshape(nchunks, Jc, n_pad)
     sign = sign.reshape(nchunks, Jc, n_pad)
 
     if nchunks == 1:
-        wsums1 = _msm_job_chunk(spec, x, y_all, inf_mask, bucket[0], sign[0],
+        wsums1 = _msm_job_chunk(spec, xy, inf_mask, bucket[0], sign[0],
                                 c, C, use_pallas)
         stacked = tuple(t[None] for t in wsums1)          # [1, L, Jc]
     else:
         def body(_, bs):
             b_, s_ = bs
-            out = _msm_job_chunk(spec, x, y_all, inf_mask, b_, s_, c, C,
+            out = _msm_job_chunk(spec, xy, inf_mask, b_, s_, c, C,
                                  use_pallas)
             return 0, out
 
@@ -629,11 +858,10 @@ def _msm_bucket_sums(spec: FieldSpec, points, scalars, c: int, C: int,
     J = k * W
     bucket = bucket.reshape(J, n_pad)
     sign = sign.reshape(J, n_pad)
-    y_all = jnp.concatenate([y, F.neg(spec, y)], axis=1)
+    xy = jnp.concatenate([x, y], axis=0)
     if use_pallas:
-        x = _pack_rows(x)
-        y_all = _pack_rows(y_all)
-    T = _msm_job_chunk(spec, x, y_all, inf_mask, bucket, sign, c, C,
+        xy = _pack_rows(xy)
+    T = _msm_job_chunk(spec, xy, inf_mask, bucket, sign, c, C,
                        use_pallas, return_buckets=True)
     return T                                              # [L, J, B]
 

@@ -149,6 +149,17 @@ def _sub_vecs(p_limbs, L, a, b):
     return out
 
 
+def _neg_vecs(p_limbs, L, a):
+    """p - a on limb vectors (a in [0, p); a == 0 gives p, callers mask)."""
+    borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
+    out = []
+    for i in range(L):
+        t = np.int32(p_limbs[i]) - a[i].astype(jnp.int32) - borrow
+        borrow = (t < 0).astype(jnp.int32)
+        out.append((t + (borrow << LIMB_BITS)).astype(jnp.uint32))
+    return out
+
+
 def _butterfly_kernel_body(p_limbs, n0inv, L, a_ref, b_ref, w_ref,
                            s_ref, d_ref):
     """One constant-geometry DIF stage block: s = a + b, d = (a - b) * w."""

@@ -1525,6 +1525,219 @@ static PyObject *py_pair_check2(PyObject *self, PyObject *args) {
     return PyBool_FromLong(ok);
 }
 
+/* ------------------------------------------------------------------ */
+/* Fixed-G2 Miller-loop line precomputation.  The verifier's 2-pairing */
+/* check always pairs against the SAME two G2 points ([1]_2 and the    */
+/* SRS beta_h, verifier.rs:243-250), so the Q-side doubling/addition   */
+/* chain (tw_dbl/tw_add, ~1/3 of each Miller iteration) can be done    */
+/* once per verifying key and replayed as stored (la, lb, lc) triples. */
+/* ------------------------------------------------------------------ */
+
+/* number of line triples the loop consumes */
+static Py_ssize_t miller_nlines(int kind, const uint8_t *bits,
+                                Py_ssize_t nbits) {
+    Py_ssize_t nl = nbits - 1;
+    for (Py_ssize_t i = 1; i < nbits; i++)
+        if (bits[i]) nl++;
+    if (kind == 2) nl += 2;
+    return nl;
+}
+
+/* replay of miller_twist_core's T chain, storing each line (raw f2 x3,
+ * in-process Montgomery representation) */
+static void miller_lines_core(const fctx *c, int kind,
+                              const uint8_t *bits, Py_ssize_t nbits,
+                              const f2 *b2, const f2 *qx, const f2 *qy,
+                              const f2 *A1, const f2 *B1, f2 *lines) {
+    g2p T;
+    T.X = *qx;
+    T.Y = *qy;
+    f2 one2;
+    memset(&one2, 0, sizeof one2);
+    one2.c0 = c->one;
+    T.Z = one2;
+    Py_ssize_t idx = 0;
+    for (Py_ssize_t i = 1; i < nbits; i++) {
+        tw_dbl(c, b2, &T, &lines[idx], &lines[idx + 1], &lines[idx + 2]);
+        idx += 3;
+        if (bits[i]) {
+            tw_add(c, &T, qx, qy, &lines[idx], &lines[idx + 1],
+                   &lines[idx + 2]);
+            idx += 3;
+        }
+    }
+    if (kind == 2) {
+        f2 q1x, q1y, q2x, q2y, t;
+        f2_conj(c, &t, qx);
+        f2_mul(c, &q1x, &t, A1);
+        f2_conj(c, &t, qy);
+        f2_mul(c, &q1y, &t, B1);
+        f2_conj(c, &t, &q1x);
+        f2_mul(c, &q2x, &t, A1);
+        f2_conj(c, &t, &q1y);
+        f2_mul(c, &t, &t, B1);
+        f2_neg(c, &q2y, &t);
+        tw_add(c, &T, &q1x, &q1y, &lines[idx], &lines[idx + 1],
+               &lines[idx + 2]);
+        idx += 3;
+        tw_add(c, &T, &q2x, &q2y, &lines[idx], &lines[idx + 1],
+               &lines[idx + 2]);
+    }
+}
+
+/* Miller loop over precomputed lines: only f12_sqr + sparse line muls */
+static void miller_pre_core(const fctx *c, int kind, int m_twist,
+                            const uint8_t *bits, Py_ssize_t nbits,
+                            const fe *xP, const fe *yP,
+                            const f2 *lines, f12 *out) {
+    f12 f;
+    f12_one(c, &f);
+    Py_ssize_t idx = 0;
+    for (Py_ssize_t i = 1; i < nbits; i++) {
+        f12 fs;
+        f12_sqr(c, &fs, &f);
+        f = fs;
+        tw_line_mul(c, m_twist, &f, &lines[idx], &lines[idx + 1],
+                    &lines[idx + 2], xP, yP);
+        idx += 3;
+        if (bits[i]) {
+            tw_line_mul(c, m_twist, &f, &lines[idx], &lines[idx + 1],
+                        &lines[idx + 2], xP, yP);
+            idx += 3;
+        }
+    }
+    if (kind == 1) {
+        f12 t;
+        f12_conj(c, &t, &f);
+        f = t;
+    } else if (kind == 2) {
+        tw_line_mul(c, m_twist, &f, &lines[idx], &lines[idx + 1],
+                    &lines[idx + 2], xP, yP);
+        idx += 3;
+        tw_line_mul(c, m_twist, &f, &lines[idx], &lines[idx + 1],
+                    &lines[idx + 2], xP, yP);
+    }
+    *out = f;
+}
+
+/* pair_lines(ctx, kind, sbits, b2 64B, Q 128B, frob 128B) -> bytes
+ * (raw process-internal f2 triples; only valid with the same ctx) */
+static PyObject *py_pair_lines(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    int kind;
+    Py_buffer sbits, b2b, qb, fr;
+    if (!PyArg_ParseTuple(args, "Oiy*y*y*y*", &cap, &kind, &sbits, &b2b,
+                          &qb, &fr))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    if (b2b.len != 64 || qb.len != 128 || (kind == 2 && fr.len != 128)) {
+        PyErr_SetString(PyExc_ValueError, "pair_lines: bad buffers");
+        PyBuffer_Release(&sbits); PyBuffer_Release(&b2b);
+        PyBuffer_Release(&qb); PyBuffer_Release(&fr);
+        return NULL;
+    }
+    f2 b2, qx, qy, A1, B1;
+    fe_from_bytes(c, &b2.c0, (const uint8_t *)b2b.buf);
+    fe_from_bytes(c, &b2.c1, (const uint8_t *)b2b.buf + 32);
+    fe_from_bytes(c, &qx.c0, (const uint8_t *)qb.buf);
+    fe_from_bytes(c, &qx.c1, (const uint8_t *)qb.buf + 32);
+    fe_from_bytes(c, &qy.c0, (const uint8_t *)qb.buf + 64);
+    fe_from_bytes(c, &qy.c1, (const uint8_t *)qb.buf + 96);
+    memset(&A1, 0, sizeof A1);
+    memset(&B1, 0, sizeof B1);
+    if (kind == 2) {
+        fe_from_bytes(c, &A1.c0, (const uint8_t *)fr.buf);
+        fe_from_bytes(c, &A1.c1, (const uint8_t *)fr.buf + 32);
+        fe_from_bytes(c, &B1.c0, (const uint8_t *)fr.buf + 64);
+        fe_from_bytes(c, &B1.c1, (const uint8_t *)fr.buf + 96);
+    }
+    Py_ssize_t nl = miller_nlines(kind, (const uint8_t *)sbits.buf,
+                                  sbits.len);
+    PyObject *outb = PyBytes_FromStringAndSize(NULL, nl * 3 * sizeof(f2));
+    if (outb)
+        miller_lines_core(c, kind, (const uint8_t *)sbits.buf, sbits.len,
+                          &b2, &qx, &qy, &A1, &B1,
+                          (f2 *)PyBytes_AS_STRING(outb));
+    PyBuffer_Release(&sbits); PyBuffer_Release(&b2b);
+    PyBuffer_Release(&qb); PyBuffer_Release(&fr);
+    return outb;
+}
+
+typedef struct {
+    const fctx *c;
+    int kind, m_twist;
+    const uint8_t *bits;
+    Py_ssize_t nbits;
+    fe xP, yP;
+    const f2 *lines;
+    int inf;
+    f12 out;
+} miller_pre_task;
+
+static void *miller_pre_worker(void *arg) {
+    miller_pre_task *t = (miller_pre_task *)arg;
+    if (t->inf)
+        f12_one(t->c, &t->out);
+    else
+        miller_pre_core(t->c, t->kind, t->m_twist, t->bits, t->nbits,
+                        &t->xP, &t->yP, t->lines, &t->out);
+    return NULL;
+}
+
+/* pair_check2_pre(ctx, kind, m_twist, sbits, pts 130B, lines1, lines2,
+ * xbits, x_neg) -> bool.  pair_check2 with both G2 chains precomputed. */
+static PyObject *py_pair_check2_pre(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    int kind, m_twist, x_neg;
+    Py_buffer sbits, pts, l1, l2, xb;
+    if (!PyArg_ParseTuple(args, "Oiiy*y*y*y*y*i", &cap, &kind, &m_twist,
+                          &sbits, &pts, &l1, &l2, &xb, &x_neg))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    Py_ssize_t need = miller_nlines(kind, (const uint8_t *)sbits.buf,
+                                    sbits.len) * 3 * (Py_ssize_t)sizeof(f2);
+    if (pts.len != 130 || kind != 2 || xb.len < 1 || l1.len != need
+        || l2.len != need) {
+        PyErr_SetString(PyExc_ValueError, "pair_check2_pre: bad buffers");
+        PyBuffer_Release(&sbits); PyBuffer_Release(&pts);
+        PyBuffer_Release(&l1); PyBuffer_Release(&l2);
+        PyBuffer_Release(&xb);
+        return NULL;
+    }
+    miller_pre_task tk[2];
+    const uint8_t *pb = (const uint8_t *)pts.buf;
+    const f2 *ls[2] = {(const f2 *)l1.buf, (const f2 *)l2.buf};
+    for (int i = 0; i < 2; i++) {
+        tk[i].c = c;
+        tk[i].kind = kind;
+        tk[i].m_twist = m_twist;
+        tk[i].bits = (const uint8_t *)sbits.buf;
+        tk[i].nbits = sbits.len;
+        fe_from_bytes(c, &tk[i].xP, pb + 65 * i);
+        fe_from_bytes(c, &tk[i].yP, pb + 65 * i + 32);
+        tk[i].inf = pb[65 * i + 64];
+        tk[i].lines = ls[i];
+    }
+    int ok;
+    Py_BEGIN_ALLOW_THREADS
+    pthread_t th;
+    int threaded = pthread_create(&th, NULL, miller_pre_worker, &tk[1]) == 0;
+    miller_pre_worker(&tk[0]);
+    if (threaded)
+        pthread_join(th, NULL);
+    else
+        miller_pre_worker(&tk[1]);
+    f12 f, r;
+    f12_mul(c, &f, &tk[0].out, &tk[1].out);
+    final_exp_bn_core(c, &f, (const uint8_t *)xb.buf, xb.len, x_neg, &r);
+    ok = f12_is_one(c, &r);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&sbits); PyBuffer_Release(&pts);
+    PyBuffer_Release(&l1); PyBuffer_Release(&l2);
+    PyBuffer_Release(&xb);
+    return PyBool_FromLong(ok);
+}
+
 /* pcs_scalars_batch(ctx_fr, k 5*32B, log_n, gen 32B, npi, jobs) -> bytes
  *
  * Batch TurboPlonk verifier scalar computation (the per-proof host math of
@@ -2295,6 +2508,10 @@ static PyMethodDef methods[] = {
     {"batch_opening_msm", py_batch_opening_msm, METH_VARARGS,
      "fused batch opening-proof aggregation (A,B MSMs)"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
+    {"pair_lines", py_pair_lines, METH_VARARGS,
+     "fixed-G2 Miller line precomputation"},
+    {"pair_check2_pre", py_pair_check2_pre, METH_VARARGS,
+     "2-pairing check over precomputed G2 lines"},
     {"pair_check2", py_pair_check2, METH_VARARGS,
      "e(P1,Q1)*e(P2,Q2) == 1 (threaded Millers + BN final exp)"},
     {"keccak256", py_keccak256, METH_VARARGS, "Keccak-256 (eth padding)"},
