@@ -914,12 +914,40 @@ def msm_batch(spec: FieldSpec, points, scalars_list, c: int | None = None,
     C = _pick_C(((n + 127) // 128) * 128)
     use_pallas = F._use_pallas() and n >= (1 << 11)
     from ..utils.aot_cache import cached_jit
-    key = f"msm_batch-{spec.name}-n{n}-k{k}-c{c}-C{C}-p{int(use_pallas)}"
-    fn = cached_jit(
-        key,
-        lambda pts, sc: _msm_batch_jit(spec, pts, sc, c, C, use_pallas),
-        points, scalars, deps=("msm",))
-    return fn(points, scalars)
+
+    # Quantize k to {2, 6, 6, ...} chunks so only TWO compiled variants
+    # ever exist per (curve, n): the Pallas scan+tail programs cost
+    # minutes of Mosaic compile each, and the prover's rounds commit with
+    # k = 1 (grand product), 2 (openings), 5-6 (wires/quotient splits),
+    # 18 (preprocess).  Padded rows carry zero scalars -> infinity
+    # results, sliced off below.
+    def run(k_prog, sc):
+        key = (f"msm_batch-{spec.name}-n{n}-k{k_prog}-c{c}-C{C}"
+               f"-p{int(use_pallas)}")
+        fn = cached_jit(
+            key,
+            lambda pts, s: _msm_batch_jit(spec, pts, s, c, C, use_pallas),
+            points, sc, deps=("msm",))
+        return fn(points, sc)
+
+    outs = []
+    i = 0
+    while i < k:
+        rem = k - i
+        k_prog = 2 if rem <= 2 else 6
+        take = min(rem, k_prog)
+        sc = scalars[i:i + take]
+        if take < k_prog:
+            sc = jnp.concatenate(
+                [sc, jnp.zeros((k_prog - take,) + sc.shape[1:],
+                               dtype=sc.dtype)], axis=0)
+        res = run(k_prog, sc)
+        outs.append(tuple(t[:, :take] for t in res))
+        i += take
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[j] for o in outs], axis=1)
+                 for j in range(3))
 
 
 def msm(spec: FieldSpec, points, scalars: jnp.ndarray, c: int | None = None,
