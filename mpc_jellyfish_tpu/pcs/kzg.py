@@ -217,6 +217,15 @@ def commit_batch(ck: CommitKey, polys: list) -> list:
     return out
 
 
+def commit_batch_stacked_dev(ck: CommitKey, scalars: jnp.ndarray):
+    """Like commit_batch_stacked but the commitments STAY on device as an
+    affine batch (x [L,k], y [L,k], inf [k]): the device-FS prover appends
+    them to the device transcript and only fetches at end of prove."""
+    fq = ck.curve.fq
+    res = M.msm_batch(fq, ck.powers_of_g, scalars)
+    return E.jac_to_affine(fq, res)
+
+
 def commit_batch_stacked(ck: CommitKey, scalars: jnp.ndarray) -> list:
     """Batched commit over PRE-CONVERTED scalars [k, Lr, nck] (normal form,
     already padded to the commit-key length).  The prover's fused round

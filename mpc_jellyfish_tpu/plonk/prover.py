@@ -190,9 +190,11 @@ class Prover:
         ], axis=2)
 
     # -- round 1 ----------------------------------------------------------
-    def run_1st_round(self, ck, wire_values, rng, mask: bool):
+    def run_1st_round(self, ck, wire_values, rng, mask: bool,
+                      dev_comms: bool = False):
         """wire_values: [L, W, n] eval tensor (one upload for all wires).
-        Returns (comms, polys)."""
+        Returns (comms, polys); with dev_comms the commitments stay on
+        device as an affine batch (device-FS path)."""
         out_len = self.n + 3
         W = wire_values.shape[1]
         if not self._fusable:
@@ -229,7 +231,10 @@ class Prover:
         t0 = _trb("r1 get-exe", t0)
         padded, sc = f(wire_values, md, *intt_args)
         t0 = _trb("r1 intt+mask+prep", t0, sc)
-        comms = kzg.commit_batch_stacked(ck, sc)
+        if dev_comms:
+            comms = kzg.commit_batch_stacked_dev(ck, sc)
+        else:
+            comms = kzg.commit_batch_stacked(ck, sc)
         _trb("r1 commit", t0)
         return comms, [padded[:, i] for i in range(W)]
 
@@ -238,14 +243,20 @@ class Prover:
 
     # -- round 2: permutation grand product -------------------------------
     def run_2nd_round(self, ck, wire_values, id_evals, sigma_evals, beta, gamma,
-                      rng, mask: bool):
-        """Grand product z(X) (reference constraint_system.rs:1197-1223)."""
+                      rng, mask: bool, dev_comms: bool = False):
+        """Grand product z(X) (reference constraint_system.rs:1197-1223).
+        beta/gamma: host ints OR device [L, 1] Montgomery tensors
+        (device-FS)."""
         spec = self.spec
         n = self.n
         # one upload: beta, gamma, and the 3 hiding coefficients
         mask_coeffs = [rng.randrange(spec.p) for _ in range(3)] if mask \
             else [0, 0, 0]
-        bg = upload(spec, [beta, gamma] + mask_coeffs)
+        if isinstance(beta, int):
+            bg = upload(spec, [beta, gamma] + mask_coeffs)
+        else:
+            bg = jnp.concatenate([beta, gamma, upload(spec, mask_coeffs)],
+                                 axis=1)
         if not self._fusable:
             beta_d = bg[:, :1]
             gamma_d = bg[:, 1:2]
@@ -306,6 +317,9 @@ class Prover:
                        f"-nck{nck}", fn, wv, idv, sgv, bg, *intt_args,
                        deps=("ntt", "prover"))
         coeffs, sc = f(wv, idv, sgv, bg, *intt_args)
+        if dev_comms:
+            comms = kzg.commit_batch_stacked_dev(ck, sc)
+            return comms, coeffs
         comm = kzg.commit_batch_stacked(ck, sc)[0]
         return comm, coeffs
 
@@ -868,7 +882,8 @@ class Prover:
                 F.sub(spec, polys[W - 1][:, :1], bd[:, W - 2:W - 1]))
         return polys
 
-    def run_3rd_round(self, ck, quot_evals_sum, rng, mask: bool):
+    def run_3rd_round(self, ck, quot_evals_sum, rng, mask: bool,
+                      dev_comms: bool = False):
         if not self._fusable:
             polys = self.quotient_evals_to_split_polys(quot_evals_sum, rng,
                                                        mask)
@@ -920,7 +935,10 @@ class Prover:
         t0 = time.time()
         st, sc = f(*args)
         t0 = _trb("r3b exe", t0, sc)
-        comms = kzg.commit_batch_stacked(ck, sc)
+        if dev_comms:
+            comms = kzg.commit_batch_stacked_dev(ck, sc)
+        else:
+            comms = kzg.commit_batch_stacked(ck, sc)
         _trb("r3b commit", t0)
         return comms, [st[:, i] for i in range(W)]
 
@@ -953,6 +971,97 @@ class Prover:
             wire_sigma_evals=host[W:2 * W - 1],
             perm_next_eval=host[2 * W - 1],
         )
+
+    def compute_evaluations_dev(self, pk, zeta_dev, oracles: Oracles):
+        """Device-FS round 4: zeta is a [L, 1] Montgomery tensor; returns
+        the eval row [L, 2W] (wires | sigmas[:-1] | perm_next) WITHOUT any
+        host transfer — the transcript append, the linearization scalars
+        and the final proof fetch all consume the device row."""
+        spec = self.spec
+        W = self.num_wire_types
+        n3 = self.n + 3
+        zeta = zeta_dev[:, 0]
+        zeta_w = F.mul(spec, zeta_dev, _const(spec, self.domain.w))[:, 0]
+
+        def pad(c):
+            k = n3 - c.shape[1]
+            return c if k == 0 else jnp.concatenate(
+                [c, F.zeros(spec, (k,))], axis=1)
+
+        group = jnp.stack([pad(c) for c in oracles.wire_polys]
+                          + [pad(c) for c in pk.sigmas[:W - 1]], axis=1)
+        evs = P.eval_at(spec, group, zeta)                  # [L, 2W-1]
+        ev_next = P.eval_at(spec, pad(oracles.prod_perm_poly), zeta_w)
+        return jnp.concatenate(
+            [evs, ev_next.reshape(spec.num_limbs, 1)], axis=1)
+
+    def lin_coeffs_dev(self, pk, alpha, beta, gamma, zeta, allv):
+        """Device-FS linearization coefficients (TurboPlonk, single
+        instance): the host-int scalar math of compute_lin_poly as one
+        fused device program over the challenge tensors and the eval row.
+        Returns [L, W + 15] coeffs in _scale_sum's poly order:
+        quot splits (W) | selectors (13) | z | last sigma."""
+        spec = self.spec
+        W = self.num_wire_types
+        n = self.n
+        ks = upload(spec, list(pk.vk.k))                    # [L, W]
+        from ..utils.aot_cache import cached_jit
+
+        def fn(alpha_, beta_, gamma_, zeta_, allv_, ks_):
+            one = F.ones(spec, (1,))
+            zn = zeta_
+            for _ in range(n.bit_length() - 1):             # zeta^n, n = 2^k
+                zn = F.sqr(spec, zn)
+            vanish = F.sub(spec, zn, one)
+            z2 = F.sqr(spec, zeta_)
+            z_np2 = F.mul(spec, zn, z2)
+            # quotient coeffs: -vanish * z_np2^i
+            qc = [F.neg(spec, vanish)]
+            for _ in range(W - 1):
+                qc.append(F.mul(spec, qc[-1], z_np2))
+            w = [allv_[:, j:j + 1] for j in range(W)]
+            sig = [allv_[:, W + j:W + j + 1] for j in range(W - 1)]
+            perm_next = allv_[:, 2 * W - 1:2 * W]
+            w01 = F.mul(spec, w[0], w[1])
+            w23 = F.mul(spec, w[2], w[3])
+
+            def pow5(x):
+                return F.mul(spec, F.sqr(spec, F.sqr(spec, x)), x)
+
+            sel = [w[0], w[1], w[2], w[3], w01, w23,
+                   pow5(w[0]), pow5(w[1]), pow5(w[2]), pow5(w[3]),
+                   F.neg(spec, w[4]), one,
+                   F.mul(spec, F.mul(spec, w01, w23), w[4])]
+            n_inv_xm1 = F.inv(
+                spec, F.mul_const(spec, F.sub(spec, zeta_, one), n))
+            lagrange_1 = F.mul(spec, vanish, n_inv_xm1)
+            coeff_z = alpha_
+            bz = F.mul(spec, beta_, zeta_)
+            for j in range(W):
+                t = F.add(spec, F.add(spec, w[j], gamma_),
+                          F.mul(spec, bz, ks_[:, j:j + 1]))
+                coeff_z = F.mul(spec, coeff_z, t)
+            a2 = F.sqr(spec, alpha_)
+            coeff_z = F.add(spec, coeff_z, F.mul(spec, a2, lagrange_1))
+            coeff_s = F.mul(spec, F.mul(spec, alpha_, beta_), perm_next)
+            for j in range(W - 1):
+                t = F.add(spec, F.add(spec, w[j], gamma_),
+                          F.mul(spec, beta_, sig[j]))
+                coeff_s = F.mul(spec, coeff_s, t)
+            coeff_s = F.neg(spec, coeff_s)
+            return jnp.concatenate(qc + sel + [coeff_z, coeff_s], axis=1)
+
+        f = cached_jit(f"lincoef-{spec.name}-n{n}-W{W}", fn,
+                       alpha, beta, gamma, zeta, allv, ks, deps=("prover",))
+        return f(alpha, beta, gamma, zeta, allv, ks)
+
+    def quotient_consts_dev(self, pk, alpha, beta, gamma):
+        """Device-FS consts row for compute_quotient_coset_evals (Turbo):
+        [alpha, beta, gamma, alpha^2] ++ vk.k as one [L, 4+W] tensor."""
+        spec = self.spec
+        a2 = F.sqr(spec, alpha)
+        ks = upload(spec, list(pk.vk.k))
+        return jnp.concatenate([alpha, beta, gamma, a2, ks], axis=1)
 
     def compute_plookup_evaluations(self, pk, challenges: Challenges,
                                     oracles: Oracles):
@@ -1086,8 +1195,9 @@ class Prover:
 
         return self._scale_sum(polys, coeffs, n3)
 
-    def _scale_sum(self, polys, coeffs_host, out_len):
-        """sum_i coeffs[i] * polys[i] with one upload + one stacked kernel."""
+    def _scale_sum(self, polys, coeffs, out_len):
+        """sum_i coeffs[i] * polys[i] with one upload + one stacked kernel.
+        coeffs: host int list OR a device [L, k] tensor (device-FS)."""
         spec = self.spec
 
         def pad(c):
@@ -1096,17 +1206,20 @@ class Prover:
                 [c, F.zeros(spec, (k,))], axis=1)
 
         stacked = jnp.stack([pad(c) for c in polys], axis=1)  # [L, k, len]
-        cd = upload(spec, coeffs_host)[:, :, None]            # [L, k, 1]
+        cd = (coeffs if not isinstance(coeffs, list)
+              else upload(spec, coeffs))[:, :, None]          # [L, k, 1]
         return F.sum_reduce(spec, F.mul(spec, stacked, cd), axis=1)
 
     # -- round 5: opening proofs ------------------------------------------
-    def compute_opening_proofs(self, ck, pks, zeta: int, v: int, oracles_list,
-                               lin_poly):
+    def compute_opening_proofs(self, ck, pks, zeta, v, oracles_list,
+                               lin_poly, dev_comms: bool = False):
         """Batched witness polynomial commitments (prover.rs:362-419):
-        both openings in one batched MSM / one transfer."""
+        both openings in one batched MSM / one transfer.  zeta / v: host
+        ints or [L, 1] device tensors (device-FS)."""
         spec = self.spec
         p = spec.p
         n3 = self.n + 3
+        device_ch = not isinstance(zeta, int)
 
         polys = [lin_poly]
         for pk, oracles in zip(pks, oracles_list):
@@ -1119,10 +1232,11 @@ class Prover:
                           pk.q_lookup_poly(), ppk.table_dom_sep_poly,
                           ppk.q_dom_sep_poly]
         vpow = []
-        cur = 1
-        for _ in polys:
-            vpow.append(cur)
-            cur = cur * v % p
+        if not device_ch:
+            cur = 1
+            for _ in polys:
+                vpow.append(cur)
+                cur = cur * v % p
 
         polys2 = []
         for pk, oracles in zip(pks, oracles_list):
@@ -1136,20 +1250,27 @@ class Prover:
                            pk.q_lookup_poly(), oracles.wire_polys[3],
                            oracles.wire_polys[4], ppk.table_dom_sep_poly]
         vpow2 = []
-        cur = 1
-        for _ in polys2:
-            vpow2.append(cur)
-            cur = cur * v % p
+        if not device_ch:
+            cur = 1
+            for _ in polys2:
+                vpow2.append(cur)
+                cur = cur * v % p
 
         if self._fusable:
             # fused: both v-power linear combinations + both (X - z)
             # divisions + MSM scalar prep in ONE executable, then one
             # batched MSM (prover.rs:362-425 in two dispatches)
             nck = ck.powers_of_g[0].shape[1]
-            cv = upload(spec, vpow + vpow2 + [zeta,
-                                              zeta * self.domain.w % p])
             k1 = len(polys)
             k2 = len(polys2)
+            if device_ch:
+                vp = F.powers(spec, v[:, 0], max(k1, k2))   # [L, max]
+                zw = F.mul(spec, zeta, _const(spec, self.domain.w))
+                cv = jnp.concatenate(
+                    [vp[:, :k1], vp[:, :k2], zeta, zw], axis=1)
+            else:
+                cv = upload(spec, vpow + vpow2 + [zeta,
+                                                  zeta * self.domain.w % p])
 
             def pad(c):
                 k = n3 - c.shape[1]
@@ -1174,9 +1295,15 @@ class Prover:
             f = cached_jit(f"r5-{spec.name}-n{self.n}-k{k1}.{k2}-nck{nck}"
                            f"-{lens}", fn, *args, deps=("poly", "prover"))
             sc = f(*args)
+            if dev_comms:
+                comms = kzg.commit_batch_stacked_dev(ck, sc)
+                return comms, None
             comms = kzg.commit_batch_stacked(ck, sc)
             return comms[0], comms[1]
 
+        if device_ch:
+            raise NotImplementedError(
+                "device-FS openings need the fused prover path")
         batch = self._scale_sum(polys, vpow, n3)
         batch2 = self._scale_sum(polys2, vpow2, n3)
         pts = upload(spec, [zeta, zeta * self.domain.w % p])

@@ -176,6 +176,33 @@ class PlonkKzgSnark:
         bp, _, _ = self.batch_prove_internal(circuits, pks, rng, mask, None)
         return bp
 
+    def _device_fs_eligible(self, circuits, pks) -> bool:
+        """Device-resident Fiat-Shamir: single-circuit TurboPlonk proves on
+        the TPU keep the whole round chain (keccak transcript included) on
+        device — zero host synchronization until the final proof fetch
+        (~30ms x 5 rounds of device->host latency through the remote
+        tunnel otherwise).  Env override MPC_JELLYFISH_TPU_DEVICE_FS=0/1."""
+        env = os.environ.get("MPC_JELLYFISH_TPU_DEVICE_FS", "")
+        if env == "0":
+            return False
+        if len(circuits) != 1 or circuits[0].support_lookup():
+            return False
+        if self.transcript_cls is not SolidityTranscript:
+            return False
+        if self.backend is not None:
+            return False
+        fr, fq = self.curve.fr, self.curve.fq
+        if 2 * fr.num_limbs != 32 or 2 * fq.num_limbs != \
+                (fq.p.bit_length() + 7) // 8:
+            return False
+        if env == "1":
+            return True
+        import jax
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            return False
+
     def batch_prove_internal(self, circuits, pks, rng=None, mask: bool = True,
                              extra_transcript_init_msg: bytes | None = None):
         """The 5.5-round protocol (snark.rs:201-469), TurboPlonk path."""
@@ -183,6 +210,12 @@ class PlonkKzgSnark:
             raise PlonkError("inconsistent circuits/pks")
         if rng is None:
             rng = random.Random(0)
+        if self._device_fs_eligible(circuits, pks):
+            prover = self._get_prover(circuits[0])
+            if prover._fusable:
+                return self._prove_device_fs(
+                    circuits[0], pks[0], prover, rng, mask,
+                    extra_transcript_init_msg)
         spec = self.spec
         p = spec.p
         n = circuits[0].eval_domain_size()
@@ -380,6 +413,167 @@ class PlonkKzgSnark:
             oracles_list,
             challenges,
         )
+
+    def _get_prover(self, circuit):
+        n = circuit.eval_domain_size()
+        W = circuit.num_wire_types
+        cache = getattr(self, "_prover_cache", None)
+        if cache is None:
+            cache = self._prover_cache = {}
+        prover = cache.get((n, W))
+        if prover is None:
+            prover = Prover(self.spec, n, W, backend=self.backend)
+            cache[(n, W)] = prover
+        return prover
+
+    def _prove_device_fs(self, circuit, pk, prover, rng, mask,
+                         extra_transcript_init_msg):
+        """Single-circuit TurboPlonk prove with the Fiat-Shamir chain ON
+        DEVICE (see _device_fs_eligible).  Byte-identical proofs to the
+        host-transcript path: same serialization, same challenge math,
+        same rng draw order — only the synchronization points move."""
+        from .device_transcript import DeviceSolidityTranscript
+        import jax
+        import jax.numpy as jnp
+        spec = self.spec
+        n = circuit.eval_domain_size()
+        W = circuit.num_wire_types
+        n3 = n + 3
+        t0 = time.time()
+
+        # host-known byte prefix (vk + public inputs), serialized exactly
+        # as the host transcript would
+        ht = self.transcript_cls(self.curve)
+        if extra_transcript_init_msg is not None:
+            ht.append_message(EXTRA_TRANSCRIPT_MSG_LABEL,
+                              extra_transcript_init_msg)
+        ht.append_vk_and_pub_input(pk.vk, circuit.public_input())
+        dtr = DeviceSolidityTranscript(self.curve)
+        dtr.append_host_bytes(bytes(ht.transcript))
+        t0 = _tr("dfs: transcript init", t0)
+
+        cache = getattr(circuit, "_device_cache", None)
+        if cache is None:
+            cols = circuit.wire_values()
+            flat = [v for col in cols for v in col] \
+                + circuit.pub_input_vector()
+            all_dev = spec.to_device(flat)
+            wv = all_dev[:, :W * n].reshape(spec.num_limbs, W, n)
+            pi = all_dev[:, W * n:]
+            circuit._device_cache = cache = (wv, pi)
+        wv, pi = cache
+        oracles = Oracles()
+
+        def comm_i(batch, i):
+            x, y, inf = batch
+            return (x[:, i:i + 1], y[:, i:i + 1], inf[i:i + 1])
+
+        # round 1
+        comms1, polys = prover.run_1st_round(pk.commit_key, wv, rng, mask,
+                                             dev_comms=True)
+        oracles.pub_inp_poly = prover.pub_input_poly(pi)
+        oracles.wire_polys = polys
+        for i in range(W):
+            dtr.append_commitment_dev(comm_i(comms1, i))
+        _ = dtr.get_and_append_challenge_dev()      # tau (unused in Turbo)
+        t0 = _tr("dfs: round 1", t0)
+
+        # round 2
+        beta = dtr.get_and_append_challenge_dev()
+        gamma = dtr.get_and_append_challenge_dev()
+        comms2, z_poly = prover.run_2nd_round(
+            pk.commit_key, [wv[:, j] for j in range(W)], pk.id_evals,
+            pk.sigma_evals, beta, gamma, rng, mask, dev_comms=True)
+        oracles.prod_perm_poly = z_poly
+        dtr.append_commitment_dev(comm_i(comms2, 0))
+        t0 = _tr("dfs: round 2", t0)
+
+        # round 3
+        alpha = dtr.get_and_append_challenge_dev()
+        consts = prover.quotient_consts_dev(pk, alpha, beta, gamma)
+        quot = prover.compute_quotient_coset_evals(pk, None, oracles,
+                                                   consts=consts)
+        comms3, split_polys = prover.run_3rd_round(pk.commit_key, quot, rng,
+                                                   mask, dev_comms=True)
+        for i in range(W):
+            dtr.append_commitment_dev(comm_i(comms3, i))
+        t0 = _tr("dfs: round 3", t0)
+
+        # round 4
+        zeta = dtr.get_and_append_challenge_dev()
+        allv = prover.compute_evaluations_dev(pk, zeta, oracles)
+        for i in range(2 * W):
+            dtr.append_field_dev(allv[:, i:i + 1])
+        lin_coeffs = prover.lin_coeffs_dev(pk, alpha, beta, gamma, zeta,
+                                           allv)
+        lin_polys = (list(split_polys) + list(pk.selectors)
+                     + [oracles.prod_perm_poly, pk.sigmas[W - 1]])
+        lin_poly = prover._scale_sum(lin_polys, lin_coeffs, n3)
+        t0 = _tr("dfs: round 4 + lin", t0)
+
+        # round 5
+        v = dtr.get_and_append_challenge_dev()
+        comms5, _ = prover.compute_opening_proofs(
+            pk.commit_key, [pk], zeta, v, [oracles], lin_poly,
+            dev_comms=True)
+        t0 = _tr("dfs: round 5 (openings)", t0)
+
+        # ONE synchronization: fetch commitments + evaluations together
+        fetched = jax.device_get((comms1, comms2, comms3, comms5, allv))
+        h1, h2, h3, h5, av = fetched
+
+        def to_points(batch):
+            from ..utils.ec_host import AffinePoint
+            x, y, inf = batch
+            import numpy as np
+            k = x.shape[1]
+            out = []
+            for i in range(k):
+                if bool(inf[i]):
+                    out.append(AffinePoint.infinity())
+                else:
+                    out.append(AffinePoint(
+                        spec_int(self.curve.fq, x[:, i]),
+                        spec_int(self.curve.fq, y[:, i])))
+            return out
+
+        def spec_int(fq, limbs):
+            # canonical int from MONTGOMERY limbs (host-side demont)
+            R_inv = pow(1 << (16 * fq.num_limbs), -1, fq.p)
+            v_ = 0
+            for j in range(fq.num_limbs - 1, -1, -1):
+                v_ = (v_ << 16) | int(limbs[j])
+            return v_ * R_inv % fq.p
+
+        wires_comms = to_points(h1)
+        z_comm = to_points(h2)[0]
+        split_comms = to_points(h3)
+        open_comms = to_points(h5)
+        r_inv = pow(1 << (16 * spec.num_limbs), -1, spec.p)
+
+        def fr_int(col):
+            v_ = 0
+            for j in range(spec.num_limbs - 1, -1, -1):
+                v_ = (v_ << 16) | int(col[j])
+            return v_ * r_inv % spec.p
+
+        from .structs import ProofEvaluations as PE
+        host_evals = [fr_int(av[:, i]) for i in range(2 * W)]
+        pe = PE(wires_evals=host_evals[:W],
+                wire_sigma_evals=host_evals[W:2 * W - 1],
+                perm_next_eval=host_evals[2 * W - 1])
+        t0 = _tr("dfs: final fetch", t0)
+
+        bp = BatchProof(
+            wires_poly_comms_vec=[wires_comms],
+            prod_perm_poly_comms_vec=[z_comm],
+            poly_evals_vec=[pe],
+            plookup_proofs_vec=[None],
+            split_quot_poly_comms=split_comms,
+            opening_proof=open_comms[0],
+            shifted_opening_proof=open_comms[1],
+        )
+        return bp, [oracles], Challenges()
 
     # -- verify ------------------------------------------------------------
     def verify(self, vk: VerifyingKey, public_input, proof: Proof,
