@@ -176,6 +176,20 @@ def bench_collaborative(curve, log_n: int, reps: int):
     plain.enforce_equal(acc, out)
     plain.finalize_for_arithmetization()
 
+    snark = PlonkKzgSnark(curve)
+    srs = kzg.universal_setup_for_testing(curve, plain.srs_size(), seed=21)
+    pk, vk = snark.preprocess(srs, plain)
+
+    # time the single prove BEFORE the MPC side exists: the fabric's
+    # preloaded triple pool is millions of live Python objects at larger
+    # n, and the memory pressure skewed a post-MPC single-prove timing by
+    # ~60x in the round-4 sweep
+    proof = snark.prove(plain, pk, rng=_r.Random(9), mask=True)   # warm
+    t0 = time.time()
+    proof = snark.prove(plain, pk, rng=_r.Random(0), mask=True)
+    single = time.time() - t0
+    snark.verify(vk, plain.public_input(), proof)
+
     fab = MockFabric(spec, seed=5)
     mpc = MpcPlonkCircuit(fab)
     rng = _r.Random(7)
@@ -185,25 +199,16 @@ def bench_collaborative(curve, log_n: int, reps: int):
     mpc.enforce_equal(acc_m, out_m)
     mpc.finalize_for_arithmetization()
 
-    snark = PlonkKzgSnark(curve)
-    srs = kzg.universal_setup_for_testing(curve, plain.srs_size(), seed=21)
-    pk, vk = snark.preprocess(srs, plain)
-
-    # warmup both paths (compile); the warmup collaborative prove also
-    # RECORDS the Beaver-triple consumption plan so the timed run draws
-    # from a preloaded pool — the reference's criterion bench likewise
-    # excludes the offline phase (its mock Beaver source is a constant,
-    # ark-mpc test_helpers)
-    proof = snark.prove(plain, pk, rng=_r.Random(9), mask=True)
+    # warmup (compile); the warmup collaborative prove also RECORDS the
+    # Beaver-triple consumption plan so the timed run draws from a
+    # preloaded pool — the reference's criterion bench likewise excludes
+    # the offline phase (its mock Beaver source is a constant, ark-mpc
+    # test_helpers)
     mpc_snark = MultiproverPlonkKzgSnark(curve)
+    fab.triple_log.clear()           # drop circuit-build draws from the plan
     cproof = mpc_snark.prove(fab, mpc, pk)
     plan = list(fab.triple_log)
     fab.preload_triples(plan)
-
-    t0 = time.time()
-    proof = snark.prove(plain, pk, rng=_r.Random(0), mask=True)
-    single = time.time() - t0
-    snark.verify(vk, plain.public_input(), proof)
 
     t0 = time.time()
     cproof = mpc_snark.prove(fab, mpc, pk)

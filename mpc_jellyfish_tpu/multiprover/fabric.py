@@ -43,6 +43,34 @@ class Shared:
         return self.share.shape[2:]
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _beaver_mask_jit(spec, xs, xm, ys, ym, ash, amc, bsh, bmc):
+    """Fused d = x - a, e = y - b maskings (share + mac), shape-grouped."""
+    return (F.sub(spec, xs, ash), F.sub(spec, xm, amc),
+            F.sub(spec, ys, bsh), F.sub(spec, ym, bmc))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _beaver_tail_jit(spec, ash, amc, bsh, bmc, csh, cmc, d, e, alpha_r):
+    """Fused z = c + d*b + e*a + d*e reconstruction (share + mac).
+
+    Tensors are [L, 2(party), *batch, k]; d/e are public [L, *batch, k];
+    the d*e constant lands on party 0's share and alpha*d*e on both macs
+    (mirror of mul_public/add_public composition)."""
+    dp = d[:, None]
+    ep = e[:, None]
+    de = F.mul(spec, d, e)
+    zs = F.add(spec, csh, F.add(spec, F.mul(spec, bsh, dp),
+                                F.mul(spec, ash, ep)))
+    bump = jnp.concatenate([de[:, None], jnp.zeros_like(de)[:, None]],
+                           axis=1)
+    zs = F.add(spec, zs, bump)
+    zm = F.add(spec, cmc, F.add(spec, F.mul(spec, bmc, dp),
+                                F.mul(spec, amc, ep)))
+    zm = F.add(spec, zm, F.mul(spec, alpha_r, de[:, None]))
+    return zs, zm
+
+
 class MockFabric:
     """Both parties in one process; openings are party-axis sums.
 
@@ -200,7 +228,12 @@ class MockFabric:
     def preload_triples(self, counts: list):
         """Offline phase: pre-draw Beaver triples for the given batch
         SHAPES, in consumption order.  The online `_beaver_triples` pops
-        them FIFO, so pooled and on-demand runs are bit-identical."""
+        them FIFO, so pooled and on-demand runs are bit-identical.
+
+        NOTE: record the plan with `triple_log.clear()` AFTER circuit
+        construction — the log accumulates from fabric creation, and a
+        stale head blocks the FIFO (every online draw then falls back to
+        the dealer, round-4 collab bench)."""
         for shape in counts:
             self._triple_pool.append(self._draw_triples(shape))
 
@@ -269,7 +302,72 @@ class MockFabric:
     def mul_batch(self, pairs: list) -> list:
         """MANY independent Beaver products in ONE communication round: all
         d_i, e_i maskings travel in a single batched opening (the ark-mpc
-        executor batches exactly these; SURVEY §2.7)."""
+        executor batches exactly these; SURVEY §2.7).
+
+        The local math (maskings + the z = c + d*b + e*a + d*e
+        reconstruction) runs as ONE jitted program per shape group: the
+        eager per-op dispatch of the naive composition was ~6s of a 10s
+        2-party 2^10 collaborative prove."""
+        spec = self.spec
+        if type(self) is not MockFabric:
+            # subclasses (NetworkFabric) override the party-aware
+            # primitives (add_public adds on ONE process's local slice);
+            # the fused tail below hard-codes the in-process 2-party
+            # layout, so they keep the primitive composition
+            return self._mul_batch_primitive(pairs)
+        shapes = [tuple(x.share.shape) for x, _ in pairs]
+        triples = []
+        for x, y in pairs:
+            a, b, c = self._beaver_triples(x.batch_shape)
+            triples.append(tuple(
+                t.reshape(x.share.shape) for t in
+                (a.share, a.mac, b.share, b.mac, c.share, c.mac)))
+
+        # group indices by share shape -> one fused program per group
+        groups: dict = {}
+        for i, sh in enumerate(shapes):
+            groups.setdefault(sh, []).append(i)
+
+        masked = [None] * (2 * len(pairs))
+        for sh, idxs in groups.items():
+            # stack on a TRAILING axis: the field kernels index limbs on
+            # axis 0
+            xs = jnp.stack([pairs[i][0].share for i in idxs], axis=-1)
+            xm = jnp.stack([pairs[i][0].mac for i in idxs], axis=-1)
+            ys = jnp.stack([pairs[i][1].share for i in idxs], axis=-1)
+            ym = jnp.stack([pairs[i][1].mac for i in idxs], axis=-1)
+            ash = jnp.stack([triples[i][0] for i in idxs], axis=-1)
+            amc = jnp.stack([triples[i][1] for i in idxs], axis=-1)
+            bsh = jnp.stack([triples[i][2] for i in idxs], axis=-1)
+            bmc = jnp.stack([triples[i][3] for i in idxs], axis=-1)
+            ds, dm, es, em = _beaver_mask_jit(spec, xs, xm, ys, ym,
+                                              ash, amc, bsh, bmc)
+            for j, i in enumerate(idxs):
+                masked[2 * i] = Shared(ds[..., j], dm[..., j])
+                masked[2 * i + 1] = Shared(es[..., j], em[..., j])
+        opened = self.open_batch(masked, check=False)
+
+        out = [None] * len(pairs)
+        for sh, idxs in groups.items():
+            ash = jnp.stack([triples[i][0] for i in idxs], axis=-1)
+            amc = jnp.stack([triples[i][1] for i in idxs], axis=-1)
+            bsh = jnp.stack([triples[i][2] for i in idxs], axis=-1)
+            bmc = jnp.stack([triples[i][3] for i in idxs], axis=-1)
+            csh = jnp.stack([triples[i][4] for i in idxs], axis=-1)
+            cmc = jnp.stack([triples[i][5] for i in idxs], axis=-1)
+            d = jnp.stack([opened[2 * i] for i in idxs], axis=-1)
+            e = jnp.stack([opened[2 * i + 1] for i in idxs], axis=-1)
+            nb = len(sh) - 2                      # batch dims after [L, 2]
+            alpha_r = self._alpha_shares.reshape(
+                (spec.num_limbs, 2) + (1,) * nb + (1,))
+            zs, zm = _beaver_tail_jit(spec, ash, amc, bsh, bmc, csh, cmc,
+                                      d, e, alpha_r)
+            for j, i in enumerate(idxs):
+                out[i] = Shared(zs[..., j], zm[..., j])
+        return out
+
+    def _mul_batch_primitive(self, pairs: list) -> list:
+        """Beaver products via the (overridable) share primitives."""
         spec = self.spec
         masked = []
         triples = []

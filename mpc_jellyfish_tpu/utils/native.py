@@ -404,6 +404,36 @@ def pair_check2(curve, g1s, g2s):
                                 frob, xb, 1 if x < 0 else 0))
 
 
+# id(round_keys) -> (round_keys ref, serialized bytes); the ref pins the
+# list so id() reuse is impossible
+_RESCUE_RK_CACHE: dict = {}
+
+
+def rescue_perm(p: int, round_keys, mds, alpha: int, alpha_inv: int, state):
+    """One Rescue permutation (explicit key schedule) in C, or None.
+
+    The Python fallback's inverse S-box is a ~254-bit bigint pow per
+    element per even round (~60us each); C does it in ~20us with 4x64
+    Montgomery muls."""
+    got = _get_fr_ctx(p)
+    if got is None:
+        return None
+    mod, ctx = got
+    if not hasattr(mod, "rescue_perm") or not (3 <= alpha <= 0xFFFF):
+        return None
+    key = id(round_keys)
+    ent = _RESCUE_RK_CACHE.get(key)
+    if ent is None or ent[0] is not round_keys:
+        rkb = b"".join(_i2b(int(v)) for row in round_keys for v in row)
+        mdsb = b"".join(_i2b(int(v)) for row in mds for v in row)
+        ent = (round_keys, rkb, mdsb)
+        _RESCUE_RK_CACHE[key] = ent
+    _, rkb, mdsb = ent
+    stb = b"".join(_i2b(int(v) % p) for v in state)
+    out = mod.rescue_perm(ctx, rkb, mdsb, alpha, _i2b(alpha_inv), stb)
+    return [_b2i(out[i * 32:(i + 1) * 32]) for i in range(4)]
+
+
 def fixed_base_powers(p: int, g, scalars):
     """[s_i * g] as AffinePoints via the C comb (SRS generation), or None."""
     got = _get_fr_ctx(p)

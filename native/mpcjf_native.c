@@ -2493,6 +2493,78 @@ static PyObject *py_fixed_base_powers(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* ------------------------------------------------------------------ */
+/* Rescue permutation (primitives/rescue.py host fallback is Python    */
+/* bigint pow: the inverse S-box is a ~254-bit exponentiation PER      */
+/* element per even round — a height-20 Merkle path verify spent       */
+/* ~130ms there; this is ~20us per pow in C).                          */
+/* ------------------------------------------------------------------ */
+
+/* rescue_perm(ctx, rk (NK*4*32B), mds (16*32B), alpha, ainv 32B,
+ * state 4*32B) -> 4*32B.  NK = 2*ROUNDS+1 from the buffer; EVEN rounds
+ * apply the inverse S-box x^ainv, odd rounds x^alpha (mirror of
+ * rescue/mod.rs:301-317 and primitives/rescue.py prp_with_keys). */
+static PyObject *py_rescue_perm(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    int alpha;
+    Py_buffer rk, mds, ainv, st;
+    if (!PyArg_ParseTuple(args, "Oy*y*iy*y*", &cap, &rk, &mds, &alpha,
+                          &ainv, &st))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    if (rk.len % (4 * 32) || rk.len < 3 * 4 * 32 || mds.len != 16 * 32
+        || ainv.len != 32 || st.len != 4 * 32 || alpha < 3
+        || alpha > 0xFFFF) {
+        PyErr_SetString(PyExc_ValueError, "rescue_perm: bad buffers");
+        PyBuffer_Release(&rk); PyBuffer_Release(&mds);
+        PyBuffer_Release(&ainv); PyBuffer_Release(&st);
+        return NULL;
+    }
+    Py_ssize_t nk = rk.len / (4 * 32);
+    fe M[16], s[4], t[4], k0;
+    for (int i = 0; i < 16; i++)
+        fe_from_bytes(c, &M[i], (const uint8_t *)mds.buf + i * 32);
+    uint8_t ab[2] = {(uint8_t)(alpha & 0xFF), (uint8_t)(alpha >> 8)};
+    PyObject *out = PyBytes_FromStringAndSize(NULL, 4 * 32);
+    if (!out) {
+        PyBuffer_Release(&rk); PyBuffer_Release(&mds);
+        PyBuffer_Release(&ainv); PyBuffer_Release(&st);
+        return NULL;
+    }
+    Py_BEGIN_ALLOW_THREADS
+    for (int i = 0; i < 4; i++) {
+        fe_from_bytes(c, &s[i], (const uint8_t *)st.buf + i * 32);
+        fe_from_bytes(c, &k0, (const uint8_t *)rk.buf + i * 32);
+        fe_add(c, &s[i], &s[i], &k0);
+    }
+    for (Py_ssize_t r = 0; r + 1 < nk; r++) {
+        for (int i = 0; i < 4; i++) {
+            if (r % 2 == 0)
+                fe_pow_bytes(c, &s[i], &s[i], (const uint8_t *)ainv.buf, 32);
+            else
+                fe_pow_bytes(c, &s[i], &s[i], ab, 2);
+        }
+        for (int i = 0; i < 4; i++) {
+            fe acc, pr;
+            memset(&acc, 0, sizeof acc);
+            for (int j = 0; j < 4; j++) {
+                fe_mul(c, &pr, &M[i * 4 + j], &s[j]);
+                fe_add(c, &acc, &acc, &pr);
+            }
+            fe_from_bytes(c, &k0,
+                          (const uint8_t *)rk.buf + ((r + 1) * 4 + i) * 32);
+            fe_add(c, &t[i], &acc, &k0);
+        }
+        memcpy(s, t, sizeof s);
+    }
+    for (int i = 0; i < 4; i++)
+        fe_to_bytes(c, (uint8_t *)PyBytes_AS_STRING(out) + i * 32, &s[i]);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&rk); PyBuffer_Release(&mds);
+    PyBuffer_Release(&ainv); PyBuffer_Release(&st);
+    return out;
+}
+
 static PyMethodDef methods[] = {
     {"ctx_new", py_ctx_new, METH_VARARGS, "create field context"},
     {"msm", py_msm, METH_VARARGS, "G1 Pippenger MSM"},
@@ -2508,6 +2580,8 @@ static PyMethodDef methods[] = {
     {"batch_opening_msm", py_batch_opening_msm, METH_VARARGS,
      "fused batch opening-proof aggregation (A,B MSMs)"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
+    {"rescue_perm", py_rescue_perm, METH_VARARGS,
+     "Rescue permutation with explicit key schedule"},
     {"pair_lines", py_pair_lines, METH_VARARGS,
      "fixed-G2 Miller line precomputation"},
     {"pair_check2_pre", py_pair_check2_pre, METH_VARARGS,
