@@ -123,6 +123,14 @@ def repo_cache_root() -> str | None:
 
 
 def _cache_dir() -> str:
+    exact = os.environ.get("MPC_JELLYFISH_EXPORT_DIR")
+    if exact:
+        # exact directory, no host fingerprint: StableHLO export blobs are
+        # host-portable, so callers (the multichip dryrun) can point this at
+        # a repo-committed dir that survives the $HOME wipe between builder
+        # and driver runs
+        os.makedirs(exact, exist_ok=True)
+        return exact
     d = os.environ.get("MPC_JELLYFISH_TPU_CACHE")
     if d is None:
         if jax.default_backend() == "tpu":
