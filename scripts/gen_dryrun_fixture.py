@@ -41,7 +41,7 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "fixtures",
-        "dryrun_proof_n512.hex")
+        "dryrun_proof_n256.hex")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         f.write(blob.hex() + "\n")

@@ -156,3 +156,21 @@ def test_batch_verify_native_chain_parity(setup):
     bad[1] = proofs[0]  # wrong extra-msg pairing for slot 1
     with pytest.raises(WrongProof):
         snark.batch_verify(vks, pis, bad, extras)
+
+
+def test_batch_verify_duplicate_instances(setup):
+    """Identity-level dedup in batch_verify (snark.py): a batch that
+    repeats one (vk, pi, proof) instance many times must accept, and a
+    tampered member that aliases a duplicate's statement must still be
+    hashed/checked on its own (distinct object => distinct job)."""
+    cs, snark, pk, vk = setup
+    good = snark.prove(cs, pk, rng=random.Random(7), mask=True)
+    k = 64
+    assert snark.batch_verify([vk] * k, [cs.public_input()] * k, [good] * k)
+    # a distinct tampered proof object among the duplicates must reject
+    bad = snark.prove(cs, pk, rng=random.Random(8), mask=True)
+    bad.wires_poly_comms[0], bad.wires_poly_comms[1] = \
+        bad.wires_poly_comms[1], bad.wires_poly_comms[0]
+    with pytest.raises(WrongProof):
+        snark.batch_verify([vk] * k, [cs.public_input()] * k,
+                           [good] * (k - 1) + [bad])
