@@ -183,7 +183,13 @@ class PlonkKzgSnark:
         (~30ms x 5 rounds of device->host latency through the remote
         tunnel otherwise).  Env override MPC_JELLYFISH_TPU_DEVICE_FS=0/1."""
         env = os.environ.get("MPC_JELLYFISH_TPU_DEVICE_FS", "")
-        if env == "0":
+        if env != "1":
+            # opt-in only: on the real chip the device keccak chain measured
+            # 16.5s/prove vs 1.19s for the host-transcript path at 2^16
+            # (bench_r4_16b/c.log) — the tiny sequential hash ops serialize
+            # the device queue and forfeit round-level overlap.  The path
+            # stays available (and tested) for transports where host link
+            # latency dominates.
             return False
         if len(circuits) != 1 or circuits[0].support_lookup():
             return False
