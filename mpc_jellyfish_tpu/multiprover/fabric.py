@@ -43,6 +43,37 @@ class Shared:
         return self.share.shape[2:]
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _ew_jit(spec, op, as_, am, bs, bm):
+    """Fused share+mac elementwise op: the fabric's add/sub/mul_public run
+    OUTSIDE any jit (the prover composes them imperatively), and each eager
+    F.add/F.mul is a dozen unfused limb primitives — 8.8s of a 12.5s 2^10
+    collaborative quotient round was raw `apply_primitive` dispatch
+    (prof_collab2.log).  One jit per (op, shape) collapses that."""
+    if op == "add":
+        return F.add(spec, as_, bs), F.add(spec, am, bm)
+    if op == "sub":
+        return F.sub(spec, as_, bs), F.sub(spec, am, bm)
+    return F.mul(spec, as_, bs), F.mul(spec, am, bm)    # "mul_public"
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _neg_jit(spec, as_, am):
+    return F.neg(spec, as_), F.neg(spec, am)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _add_public_jit(spec, as_, am, cb, alpha_r):
+    """Party-0 share bump + alpha*c mac bump, fused."""
+    full = (as_.shape[0], 1) + as_.shape[2:]
+    bump = jnp.concatenate([
+        jnp.broadcast_to(cb, full),
+        jnp.zeros(full, dtype=cb.dtype),
+    ], axis=1)
+    mac_bump = F.mul(spec, alpha_r, cb)
+    return F.add(spec, as_, bump), F.add(spec, am, mac_bump)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _beaver_mask_jit(spec, xs, xm, ys, ym, ash, amc, bsh, bmc):
     """Fused d = x - a, e = y - b maskings (share + mac), shape-grouped."""
@@ -140,21 +171,21 @@ class MockFabric:
 
     # -- linear ops (share-local) -----------------------------------------
     def add(self, a: Shared, b: Shared) -> Shared:
-        return Shared(F.add(self.spec, a.share, b.share),
-                      F.add(self.spec, a.mac, b.mac))
+        return Shared(*_ew_jit(self.spec, "add", a.share, a.mac,
+                               b.share, b.mac))
 
     def sub(self, a: Shared, b: Shared) -> Shared:
-        return Shared(F.sub(self.spec, a.share, b.share),
-                      F.sub(self.spec, a.mac, b.mac))
+        return Shared(*_ew_jit(self.spec, "sub", a.share, a.mac,
+                               b.share, b.mac))
 
     def neg(self, a: Shared) -> Shared:
-        return Shared(F.neg(self.spec, a.share), F.neg(self.spec, a.mac))
+        return Shared(*_neg_jit(self.spec, a.share, a.mac))
 
     def mul_public(self, a: Shared, c: jnp.ndarray) -> Shared:
         """c public [L, *batch-compatible]."""
         cb = c[:, None] if c.ndim == a.share.ndim - 1 else c
-        return Shared(F.mul(self.spec, a.share, cb),
-                      F.mul(self.spec, a.mac, cb))
+        return Shared(*_ew_jit(self.spec, "mul_public", a.share, a.mac,
+                               cb, cb))
 
     def add_public(self, a: Shared, c: jnp.ndarray) -> Shared:
         """Only party 0 adds the public value to its share; macs add alpha*c."""
@@ -164,16 +195,9 @@ class MockFabric:
             cb = c[:, None]                           # [L, 1, *batch]
         else:
             cb = c
-        full = (spec.num_limbs, 1) + a.batch_shape
-        bump = jnp.concatenate([
-            jnp.broadcast_to(cb, full),
-            jnp.zeros(full, dtype=cb.dtype),
-        ], axis=1)
         alpha_r = self._alpha_shares.reshape(
             (spec.num_limbs, 2) + (1,) * nb)
-        mac_bump = F.mul(spec, alpha_r, cb)
-        return Shared(F.add(spec, a.share, bump),
-                      F.add(spec, a.mac, mac_bump))
+        return Shared(*_add_public_jit(spec, a.share, a.mac, cb, alpha_r))
 
     # -- openings ----------------------------------------------------------
     def open(self, a: Shared, check: bool = True) -> jnp.ndarray:
