@@ -238,9 +238,16 @@ def bench_batch_verify(curve, log_n: int, k: int):
     t0 = time.time()
     snark.verify(vk, cs.public_input(), proof)
     t_single = time.time() - t0
+    # k DISTINCT proof objects (deep copies), so every instance pays the
+    # full transcript + scalar work — a matched workload vs the reference
+    # bench (bench.rs:129-167 clones its proof k times; its verifier does
+    # full per-instance work, verifier.rs:195-252).  The round-4 committed
+    # 5.33 ms figure used [proof]*k through an id()-keyed dedup and is
+    # retracted — see README.md changelog.
+    import copy as _copy
     vks = [vk] * k
-    pis = [cs.public_input()] * k
-    proofs = [proof] * k
+    pis = [list(cs.public_input()) for _ in range(k)]
+    proofs = [_copy.deepcopy(proof) for _ in range(k)]
     t0 = time.time()
     assert snark.batch_verify(vks, pis, proofs)
     t_batch = time.time() - t0

@@ -598,22 +598,27 @@ class PlonkKzgSnark:
             raise PlonkError("inconsistent verify inputs")
         if not vks:
             raise PlonkError("empty verify batch")
-        # Deduplicate identical (vk, public_input, proof, extra) instances:
-        # their Fiat-Shamir transcripts — hence challenges, scalars and
-        # pairing checks — are bit-identical, so verifying the distinct set
-        # verifies the whole batch.  Batches of distinct proofs (the real
-        # workload) are unaffected; repeated-statement batches (e.g. relays
-        # deduplicating gossip, or the reference's own criterion bench which
-        # clones one proof 1000x, bench.rs:129-167) skip the redundant
-        # hashing.  Keyed by object identity + pi value; the dict pins the
-        # objects so id() reuse is impossible.
-        seen = {}
-        for vk, proof, pi, extra in zip(vks, proofs, public_inputs,
-                                        extra_transcript_init_msgs):
-            key = (id(vk), id(proof), tuple(pi), extra)
-            if key not in seen:
-                seen[key] = (vk, proof, pi, extra)
-        uniq = list(seen.values())
+        # Optional dedup of identical (vk, public_input, proof, extra)
+        # instances: their Fiat-Shamir transcripts — hence challenges,
+        # scalars and pairing checks — are bit-identical, so verifying the
+        # distinct set verifies the whole batch.  OFF by default: the
+        # reference (snark.rs:141-190) does full per-instance work, so any
+        # benchmark comparison must too.  Opt in for real duplicate-heavy
+        # workloads (e.g. relays deduplicating gossip) with
+        # MPCJF_BATCH_VERIFY_DEDUP=1.
+        uniq = list(zip(vks, proofs, public_inputs,
+                        extra_transcript_init_msgs))
+        if os.environ.get("MPCJF_BATCH_VERIFY_DEDUP", "0") == "1":
+            seen = {}
+            for vk, proof, pi, extra in uniq:
+                try:
+                    key = (id(vk), id(proof),
+                           tuple(int(x) for x in pi), extra)
+                except (TypeError, ValueError):
+                    key = (id(vk), id(proof), id(pi), extra)
+                if key not in seen:
+                    seen[key] = (vk, proof, pi, extra)
+            uniq = list(seen.values())
         verifiers, jobs = [], []
         for vk, proof, pi, extra in uniq:
             verifiers.append(
