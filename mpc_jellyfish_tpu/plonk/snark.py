@@ -619,6 +619,18 @@ class PlonkKzgSnark:
                 if key not in seen:
                     seen[key] = (vk, proof, pi, extra)
             uniq = list(seen.values())
+        # fully-fused native path (one bv_assemble call for transcripts +
+        # challenges + scalar rows; shared-vk TurboPlonk, no extra msgs)
+        if all(x[3] is None for x in uniq):
+            v0 = Verifier(self.curve, uniq[0][0].domain_size,
+                          self.transcript_cls)
+            fused = v0.batch_verify_fused(
+                [x[0] for x in uniq], [x[2] for x in uniq],
+                [x[1] for x in uniq], uniq[0][0].open_key)
+            if fused is not None:
+                if not fused:
+                    raise WrongProof("proof verification failed")
+                return True
         verifiers, jobs = [], []
         for vk, proof, pi, extra in uniq:
             verifiers.append(

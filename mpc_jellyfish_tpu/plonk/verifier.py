@@ -87,6 +87,102 @@ class _SegmentRecorder(SolidityTranscript):
         return self._segments
 
 
+class _LayoutRecorder(SolidityTranscript):
+    """Transcript stand-in that records WHERE proof-dependent bytes land in
+    the transcript: running ``compute_challenges`` over a tagged dummy
+    proof yields (template bytes, segment ends, patch list) for the native
+    ``bv_assemble`` assembler.  Patches: (t_off, kind, src, 32) with
+    kind 0 = proof-blob copy, 1 = public-input copy, 2 = compressed point
+    (src = blob point index)."""
+
+    def __init__(self, curve):
+        super().__init__(curve)
+        self.patches = []
+        self.seg_ends = []
+
+    def append_commitment(self, label: bytes, comm):
+        if isinstance(comm, _TaggedPoint):
+            self.patches.append((len(self.transcript), 2, comm.tag, 32))
+        super().append_commitment(label, comm)
+
+    def append_field(self, label: bytes, v: int):
+        if isinstance(v, _TaggedEval):
+            self.patches.append(
+                (len(self.transcript), 0, _BV_PTS_LEN + v.tag * 32, 32))
+        super().append_field(label, v)
+
+    def append_vk_and_pub_input(self, vk, pub_input):
+        super().append_vk_and_pub_input(vk, [])
+        from ..utils.serialize import field_to_bytes
+        for i in range(len(pub_input)):
+            self.patches.append((len(self.transcript), 1, 32 * i, 32))
+            self.append_message(b"public input",
+                                field_to_bytes(self.curve.fr, 0))
+
+    def get_and_append_challenge(self, label: bytes) -> int:
+        self.seg_ends.append(len(self.transcript))
+        return 0
+
+
+class _TaggedPoint:
+    """Placeholder commitment carrying a proof-blob point index; used only
+    to record the transcript layout (values are never hashed for real)."""
+    __slots__ = ("x", "y", "inf", "tag")
+
+    def __init__(self, tag):
+        self.x, self.y, self.inf, self.tag = 1, 1, False, tag
+
+
+class _TaggedEval(int):
+    """Placeholder evaluation carrying a proof-blob eval index."""
+    def __new__(cls, tag):
+        o = super().__new__(cls, 1)
+        o.tag = tag
+        return o
+
+
+# proof-blob layout for the fused native batch verifier (bv_assemble):
+# 13 points x 65B (x|y|inf) in batch_opening_msm base order
+# [z, q0..q4, w0..w4, open, shifted], then 10 evals x 32B LE
+# [w0..w4, s0..s3, perm_next].
+_BV_NPT = 13
+_BV_PTS_LEN = _BV_NPT * 65
+_BV_BLOB_LEN = _BV_PTS_LEN + 10 * 32
+
+
+def proof_bv_blob(curve, proof) -> bytes:
+    """Canonical raw-byte image of a TurboPlonk proof for the fused native
+    batch verifier — the moral equivalent of the reference's in-memory limb
+    representation (a Rust Proof struct IS its limbs; our Python ints need
+    one explicit conversion, cached on the proof object and produced at
+    prove()/deserialize time)."""
+    b = getattr(proof, "_bv_blob", None)
+    if b is not None:
+        return b
+
+    def pt65(pt):
+        if pt.inf:
+            return b"\x00" * 64 + b"\x01"
+        return (int(pt.x).to_bytes(32, "little")
+                + int(pt.y).to_bytes(32, "little") + b"\x00")
+
+    p = curve.fr.p
+    ev = proof.poly_evals
+    parts = [pt65(proof.prod_perm_poly_comm)]
+    parts += [pt65(c) for c in proof.split_quot_poly_comms]
+    parts += [pt65(c) for c in proof.wires_poly_comms]
+    parts.append(pt65(proof.opening_proof))
+    parts.append(pt65(proof.shifted_opening_proof))
+    for v in [*ev.wires_evals, *ev.wire_sigma_evals, ev.perm_next_eval]:
+        parts.append((int(v) % p).to_bytes(32, "little"))
+    blob = b"".join(parts)
+    try:
+        proof._bv_blob = blob
+    except Exception:
+        pass
+    return blob
+
+
 @dataclass
 class PcsInfo:
     """Reference verifier.rs:40-48."""
@@ -483,6 +579,120 @@ class Verifier:
         return native.pcs_scalars_batch_raw(
             p, jobs[0][0][0].k, self.n.bit_length() - 1, self.group_gen, npi,
             bytes(buf))
+
+    def _bv_layout(self, vk, npi):
+        """(template, seg_ends, patches) for bv_assemble, cached on the vk
+        (layout depends only on the vk bytes and the public-input count)."""
+        cached = getattr(vk, "_bv_layout", None)
+        if cached is not None and cached[0] == npi:
+            return cached[1:]
+        from .structs import ProofEvaluations as PE
+        rec = _LayoutRecorder(self.curve)
+        bp = BatchProof(
+            wires_poly_comms_vec=[[_TaggedPoint(6 + i) for i in range(5)]],
+            prod_perm_poly_comms_vec=[_TaggedPoint(0)],
+            poly_evals_vec=[PE(
+                wires_evals=[_TaggedEval(i) for i in range(5)],
+                wire_sigma_evals=[_TaggedEval(5 + i) for i in range(4)],
+                perm_next_eval=_TaggedEval(9))],
+            plookup_proofs_vec=[None],
+            split_quot_poly_comms=[_TaggedPoint(1 + i) for i in range(5)],
+            opening_proof=_TaggedPoint(11),
+            shifted_opening_proof=_TaggedPoint(12),
+        )
+        self.compute_challenges([vk], [[0] * npi], bp, None, _transcript=rec)
+        import struct as _struct
+        tmpl = bytes(rec.transcript)
+        ends = b"".join(_struct.pack("<Q", e) for e in rec.seg_ends)
+        patches = b"".join(_struct.pack("<4I", *p) for p in rec.patches)
+        try:
+            vk._bv_layout = (npi, tmpl, ends, patches)
+        except Exception:
+            pass
+        return tmpl, ends, patches
+
+    def batch_verify_fused(self, vks, public_inputs, proofs, open_key):
+        """Fully-fused native batch verification: ONE bv_assemble call
+        builds every proof's transcript, runs the keccak chains (AVX-512
+        8-way), reduces challenges and packs the scalar/extras/bases rows;
+        pcs_scalars_batch + batch_opening_msm + the 2-pairing check finish
+        the job (verifier.rs:195-252).  Operates on raw Proof objects
+        (shared-vk TurboPlonk shape); returns True/False, or None when
+        ineligible (caller falls back)."""
+        from ..utils import native
+        if self.transcript_cls is not SolidityTranscript:
+            return None
+        if (self.p.bit_length() > 256
+                or self.curve.fq.p.bit_length() > 256):
+            return None
+        mod = native._load()
+        if (mod is None or not hasattr(mod, "bv_assemble")
+                or not native.has_batch_opening_msm(self.p, self.curve.fq.p)):
+            return None
+        vk0 = vks[0]
+        if (vk0.plookup_vk is not None or getattr(vk0, "is_merged", False)
+                or vk0.domain_size != self.n
+                or len(vk0.selector_comms) != 13):
+            return None
+        npi = len(public_inputs[0])
+        for vk, pf, pi in zip(vks, proofs, public_inputs):
+            if (vk is not vk0 or pf.plookup_proof is not None
+                    or len(pf.wires_poly_comms) != 5
+                    or len(pf.split_quot_poly_comms) != 5
+                    or len(pf.poly_evals.wire_sigma_evals) != 4
+                    or len(pi) != npi):
+                return None
+        got = native._get_fr_ctx(self.p)
+        if got is None:
+            return None
+        tmpl, ends, patches = self._bv_layout(vk0, npi)
+        p = self.p
+        blobs = [proof_bv_blob(self.curve, pf) for pf in proofs]
+        pib = b"".join((int(x) % p).to_bytes(32, "little")
+                       for pi in public_inputs for x in pi)
+        gen_b = self.group_gen.to_bytes(32, "little")
+        two256 = ((1 << 256) % p).to_bytes(32, "little")
+        halfq = ((self.curve.fq.p - 1) // 2).to_bytes(32, "little")
+        jobs_b, extras, bases = mod.bv_assemble(
+            got[1], tmpl, ends, patches, blobs, pib, gen_b, two256,
+            halfq, npi)
+        k = len(proofs)
+        jrow = (17 + npi) * 32
+        if k == 1:
+            r = 1
+        else:
+            # r-combiner transcript (labels dropped): T = u_1 || .. || u_k
+            from ..utils.keccak import keccak256
+            base = (b"\x00" * 64) + b"".join(
+                jobs_b[i * jrow + 192:i * jrow + 224] for i in range(k))
+            st = keccak256(base + b"\x00") + keccak256(base + b"\x01")
+            r = int.from_bytes(st[:48], "little") % p
+        rows = native.pcs_scalars_batch_raw(
+            p, vk0.k, self.n.bit_length() - 1, self.group_gen, npi, jobs_b)
+        if rows is None:
+            return None
+        vk_bases = getattr(vk0, "_bv_vk_bases", None)
+        if vk_bases is None:
+            def _pt65c(pt):
+                if pt.inf:
+                    return b"\x00" * 64 + b"\x01"
+                return (pt.x.to_bytes(32, "little")
+                        + pt.y.to_bytes(32, "little") + b"\x00")
+            vk_bases = b"".join(_pt65c(pt) for pt in
+                                [vk0.sigma_comms[-1], *vk0.selector_comms,
+                                 *vk0.sigma_comms[:4], open_key.g])
+            try:
+                vk0._bv_vk_bases = vk_bases
+            except Exception:
+                pass
+        res = native.batch_opening_msm(
+            p, self.curve.fq.p, rows, extras, r, vk_bases, bases)
+        if res is None:
+            return None
+        a, b = res
+        return PR.pairing_check(
+            self.curve, [a, ec_neg(self.curve.fq.p, b)],
+            [open_key.beta_h, open_key.h])
 
     def batch_verify_native(self, challenges_list, jobs, open_key):
         """Fully-native batch verification tail: scalar rows, r^i combiner

@@ -377,6 +377,46 @@ static long msm_nthreads(void) {
     return nt;
 }
 
+/* generic parallel-for over [0, n): fn(env, lo, hi, tid) per chunk.
+ * Returns the thread count used (callers with per-thread accumulators
+ * merge that many). grain: minimum items per thread. */
+typedef void (*pfor_fn)(void *env, Py_ssize_t lo, Py_ssize_t hi, int tid);
+typedef struct { pfor_fn fn; void *env; Py_ssize_t n; long nt; int tid; }
+    pfor_task;
+
+static void *pfor_worker(void *arg) {
+    pfor_task *t = (pfor_task *)arg;
+    Py_ssize_t chunk = (t->n + t->nt - 1) / t->nt;
+    Py_ssize_t lo = (Py_ssize_t)t->tid * chunk;
+    Py_ssize_t hi = lo + chunk < t->n ? lo + chunk : t->n;
+    if (lo < hi) t->fn(t->env, lo, hi, t->tid);
+    return NULL;
+}
+
+static long pfor(pfor_fn fn, void *env, Py_ssize_t n, Py_ssize_t grain) {
+    long nt = msm_nthreads();
+    if (grain > 0) {
+        long cap = (long)(n / grain);
+        if (cap < 1) cap = 1;
+        if (nt > cap) nt = cap;
+    }
+    if (n <= 0) return 1;
+    if (nt <= 1) { fn(env, 0, n, 0); return 1; }
+    pthread_t th[16];
+    pfor_task tasks[16];
+    for (long t = 0; t < nt; t++) {
+        tasks[t] = (pfor_task){fn, env, n, nt, (int)t};
+        if (pthread_create(&th[t], NULL, pfor_worker, &tasks[t]) != 0) {
+            pfor_worker(&tasks[t]);
+            th[t] = pthread_self();
+        }
+    }
+    for (long t = 0; t < nt; t++)
+        if (!pthread_equal(th[t], pthread_self()))
+            pthread_join(th[t], NULL);
+    return nt;
+}
+
 static void g1_msm(const fctx *c, g1 *out, const fe *xs, const fe *ys,
                    const uint8_t *inf, const uint64_t *scalars,
                    Py_ssize_t n) {
@@ -1750,84 +1790,55 @@ static PyObject *py_pair_check2_pre(PyObject *self, PyObject *args) {
  *   [prod_perm_coeff, last_sigma_coeff, q0..q12, quot0..quot4,
  *    v^1..v^9, aggregated_eval]
  * Inverses (1 + npi per proof) use one shared Montgomery batch inversion. */
-static PyObject *py_pcs_scalars_batch(PyObject *self, PyObject *args) {
-    PyObject *cap;
-    Py_buffer kb, gb, jb;
-    int log_n, npi;
-    if (!PyArg_ParseTuple(args, "Oy*iy*iy*", &cap, &kb, &log_n, &gb, &npi,
-                          &jb))
-        return NULL;
-    fctx *c = get_ctx(cap);
-    const int IN_F = 17 + npi;
-    if (kb.len != 5 * 32 || gb.len != 32 || log_n < 1 || log_n > 40
-        || npi < 0 || jb.len % (IN_F * 32) != 0) {
-        PyErr_SetString(PyExc_ValueError, "pcs_scalars_batch: bad buffers");
-        PyBuffer_Release(&kb); PyBuffer_Release(&gb); PyBuffer_Release(&jb);
-        return NULL;
-    }
-    const Py_ssize_t np = jb.len / (IN_F * 32);
-    const uint8_t *jobs = (const uint8_t *)jb.buf;
-    fe k[5], gen;
-    for (int i = 0; i < 5; i++)
-        fe_from_bytes(c, &k[i], (const uint8_t *)kb.buf + i * 32);
-    fe_from_bytes(c, &gen, (const uint8_t *)gb.buf);
-    /* n and n^{-1} as field elements (n = 2^log_n) */
-    fe n_fe = c->one;
-    for (int i = 0; i < log_n; i++) fe_add(c, &n_fe, &n_fe, &n_fe);
-    fe n_inv;
-    fe_inv(c, &n_inv, &n_fe);
-    /* g^i table for public inputs */
-    fe *gpow = (fe *)malloc(sizeof(fe) * (npi > 0 ? npi : 1));
-    if (!gpow) { PyBuffer_Release(&kb); PyBuffer_Release(&gb);
-                 PyBuffer_Release(&jb); return PyErr_NoMemory(); }
-    gpow[0] = c->one;
-    for (int i = 1; i < npi; i++) fe_mul(c, &gpow[i], &gpow[i - 1], &gen);
+typedef struct {
+    const fctx *c;
+    const uint8_t *jobs;
+    int IN_F, npi, ND, log_n;
+    const fe *gpow, *k;
+    fe n_fe, n_inv;
+    fe *den, *zeta_n;
+    uint8_t *out;
+} pcs_env;
 
-    const int ND = 1 + npi;       /* denominators per proof */
-    fe *den = (fe *)malloc(sizeof(fe) * ND * np);
-    fe *pref = (fe *)malloc(sizeof(fe) * (ND * np + 1));
-    fe *zeta_n = (fe *)malloc(sizeof(fe) * np);   /* zeta^n */
-    uint8_t *out = (uint8_t *)malloc((size_t)np * 30 * 32);
-    if (!den || !pref || !zeta_n || !out) {
-        free(gpow); free(den); free(pref); free(zeta_n); free(out);
-        PyBuffer_Release(&kb); PyBuffer_Release(&gb); PyBuffer_Release(&jb);
-        return PyErr_NoMemory();
-    }
-    Py_BEGIN_ALLOW_THREADS
-    /* pass 1: denominators  d0 = n(zeta-1), d_{1+i} = zeta - g^i */
-    for (Py_ssize_t pi_ = 0; pi_ < np; pi_++) {
+static void pcs_pass1(void *envp, Py_ssize_t lo, Py_ssize_t hi, int tid) {
+    pcs_env *e = (pcs_env *)envp;
+    const fctx *c = e->c;
+    const uint8_t *jobs = e->jobs;
+    const int IN_F = e->IN_F, npi = e->npi, ND = e->ND, log_n = e->log_n;
+    const fe *gpow = e->gpow;
+    (void)tid;
+    for (Py_ssize_t pi_ = lo; pi_ < hi; pi_++) {
         const uint8_t *in = jobs + pi_ * IN_F * 32;
         fe zeta, t;
         fe_from_bytes(c, &zeta, in + 4 * 32);
-        fe *d = den + pi_ * ND;
+        fe *d = e->den + pi_ * ND;
         fe_sub(c, &t, &zeta, &c->one);
-        fe_mul(c, &d[0], &t, &n_fe);
+        fe_mul(c, &d[0], &t, &e->n_fe);
         for (int i = 0; i < npi; i++)
             fe_sub(c, &d[1 + i], &zeta, &gpow[i]);
         fe zn = zeta;
         for (int i = 0; i < log_n; i++) fe_mul(c, &zn, &zn, &zn);
-        zeta_n[pi_] = zn;
+        e->zeta_n[pi_] = zn;
     }
-    /* shared Montgomery batch inversion (zero entries pass through as
-     * zero-products; vanish==0 cannot occur for Fiat-Shamir zeta) */
-    pref[0] = c->one;
-    for (Py_ssize_t i = 0; i < ND * np; i++)
-        fe_mul(c, &pref[i + 1], &pref[i], &den[i]);
-    fe inv_all;
-    fe_inv(c, &inv_all, &pref[ND * np]);
-    for (Py_ssize_t i = ND * np - 1; i >= 0; i--) {
-        fe di;
-        fe_mul(c, &di, &pref[i], &inv_all);
-        fe_mul(c, &inv_all, &inv_all, &den[i]);
-        den[i] = di;                     /* den now holds the inverses */
-    }
-    /* pass 2: scalars */
-    for (Py_ssize_t pi_ = 0; pi_ < np; pi_++) {
+}
+
+static void pcs_pass2(void *envp, Py_ssize_t lo, Py_ssize_t hi, int tid) {
+    pcs_env *e = (pcs_env *)envp;
+    const fctx *c = e->c;
+    const uint8_t *jobs = e->jobs;
+    const int IN_F = e->IN_F, npi = e->npi, ND = e->ND;
+    const fe *gpow = e->gpow, *k = e->k;
+    const fe *den = e->den;
+    const fe *zeta_n = e->zeta_n;
+    uint8_t *out = e->out;
+    (void)tid;
+    for (Py_ssize_t pi_ = lo; pi_ < hi; pi_++) {
         const uint8_t *in = jobs + pi_ * IN_F * 32;
         fe ch[7], w[5], se[4], perm_next;
         for (int i = 0; i < 7; i++) fe_from_bytes(c, &ch[i], in + i * 32);
         for (int i = 0; i < 5; i++) fe_from_bytes(c, &w[i], in + (7 + i) * 32);
-        for (int i = 0; i < 4; i++) fe_from_bytes(c, &se[i], in + (12 + i) * 32);
+        for (int i = 0; i < 4; i++)
+            fe_from_bytes(c, &se[i], in + (12 + i) * 32);
         fe_from_bytes(c, &perm_next, in + 16 * 32);
         const fe *beta = &ch[1], *gamma = &ch[2], *alpha = &ch[3],
                  *zeta = &ch[4], *v = &ch[5], *u = &ch[6];
@@ -1838,7 +1849,7 @@ static PyObject *py_pcs_scalars_batch(PyObject *self, PyObject *args) {
         fe_mul(c, &l1, &vanish, &dinv[0]);
         /* pi_eval = sum (vanish/n) g^i (zeta-g^i)^{-1} pi_i */
         fe vdn, pi_eval;
-        fe_mul(c, &vdn, &vanish, &n_inv);
+        fe_mul(c, &vdn, &vanish, &e->n_inv);
         memset(&pi_eval, 0, sizeof pi_eval);
         for (int i = 0; i < npi; i++) {
             fe pe;
@@ -1933,6 +1944,75 @@ static PyObject *py_pcs_scalars_batch(PyObject *self, PyObject *args) {
         fe_add(c, &eval, &eval, &t2);
         fe_to_bytes(c, op + 29 * 32, &eval);
     }
+}
+
+static PyObject *py_pcs_scalars_batch(PyObject *self, PyObject *args) {
+    PyObject *cap;
+    Py_buffer kb, gb, jb;
+    int log_n, npi;
+    if (!PyArg_ParseTuple(args, "Oy*iy*iy*", &cap, &kb, &log_n, &gb, &npi,
+                          &jb))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    const int IN_F = 17 + npi;
+    if (kb.len != 5 * 32 || gb.len != 32 || log_n < 1 || log_n > 40
+        || npi < 0 || jb.len % (IN_F * 32) != 0) {
+        PyErr_SetString(PyExc_ValueError, "pcs_scalars_batch: bad buffers");
+        PyBuffer_Release(&kb); PyBuffer_Release(&gb); PyBuffer_Release(&jb);
+        return NULL;
+    }
+    const Py_ssize_t np = jb.len / (IN_F * 32);
+    const uint8_t *jobs = (const uint8_t *)jb.buf;
+    fe k[5], gen;
+    for (int i = 0; i < 5; i++)
+        fe_from_bytes(c, &k[i], (const uint8_t *)kb.buf + i * 32);
+    fe_from_bytes(c, &gen, (const uint8_t *)gb.buf);
+    /* n and n^{-1} as field elements (n = 2^log_n) */
+    fe n_fe = c->one;
+    for (int i = 0; i < log_n; i++) fe_add(c, &n_fe, &n_fe, &n_fe);
+    fe n_inv;
+    fe_inv(c, &n_inv, &n_fe);
+    /* g^i table for public inputs */
+    fe *gpow = (fe *)malloc(sizeof(fe) * (npi > 0 ? npi : 1));
+    if (!gpow) { PyBuffer_Release(&kb); PyBuffer_Release(&gb);
+                 PyBuffer_Release(&jb); return PyErr_NoMemory(); }
+    gpow[0] = c->one;
+    for (int i = 1; i < npi; i++) fe_mul(c, &gpow[i], &gpow[i - 1], &gen);
+
+    const int ND = 1 + npi;       /* denominators per proof */
+    fe *den = (fe *)malloc(sizeof(fe) * ND * np);
+    fe *pref = (fe *)malloc(sizeof(fe) * (ND * np + 1));
+    fe *zeta_n = (fe *)malloc(sizeof(fe) * np);   /* zeta^n */
+    uint8_t *out = (uint8_t *)malloc((size_t)np * 30 * 32);
+    if (!den || !pref || !zeta_n || !out) {
+        free(gpow); free(den); free(pref); free(zeta_n); free(out);
+        PyBuffer_Release(&kb); PyBuffer_Release(&gb); PyBuffer_Release(&jb);
+        return PyErr_NoMemory();
+    }
+    pcs_env env;
+    env.c = c; env.jobs = jobs; env.IN_F = IN_F; env.npi = npi;
+    env.ND = ND; env.log_n = log_n; env.gpow = gpow; env.k = k;
+    env.n_fe = n_fe; env.n_inv = n_inv; env.den = den;
+    env.zeta_n = zeta_n; env.out = out;
+    Py_BEGIN_ALLOW_THREADS
+    /* pass 1: denominators  d0 = n(zeta-1), d_{1+i} = zeta - g^i
+     * (pthread-parallel over proofs) */
+    pfor(pcs_pass1, &env, np, 64);
+    /* shared Montgomery batch inversion (zero entries pass through as
+     * zero-products; vanish==0 cannot occur for Fiat-Shamir zeta) */
+    pref[0] = c->one;
+    for (Py_ssize_t i = 0; i < ND * np; i++)
+        fe_mul(c, &pref[i + 1], &pref[i], &den[i]);
+    fe inv_all;
+    fe_inv(c, &inv_all, &pref[ND * np]);
+    for (Py_ssize_t i = ND * np - 1; i >= 0; i--) {
+        fe di;
+        fe_mul(c, &di, &pref[i], &inv_all);
+        fe_mul(c, &inv_all, &inv_all, &den[i]);
+        den[i] = di;                     /* den now holds the inverses */
+    }
+    /* pass 2: scalars (pthread-parallel over proofs) */
+    pfor(pcs_pass2, &env, np, 64);
     Py_END_ALLOW_THREADS
     PyObject *res = PyBytes_FromStringAndSize((const char *)out,
                                               (Py_ssize_t)np * 30 * 32);
@@ -2037,6 +2117,75 @@ static int bomsm_run(const fctx *cr, const fctx *cq, g1 *out,
     return 0;
 }
 
+typedef struct {
+    const fctx *cr;
+    const uint8_t *rw, *ex, *pf;
+    const fe *rpow;
+    fe *bscal; const uint8_t **bkey;
+    fe *ascal; const uint8_t **akey;
+    fe *tacc;   /* 16 x 19 per-thread accumulators: [vkacc[18] | gacc] */
+} bo_env;
+
+static void bo_scale(void *envp, Py_ssize_t lo, Py_ssize_t hi, int tid) {
+    bo_env *e = (bo_env *)envp;
+    const fctx *cr = e->cr;
+    fe *vkacc = e->tacc + (Py_ssize_t)tid * 19;
+    fe *gacc = vkacc + 18;
+    fe t, s, u, zeta, nxt;
+    for (Py_ssize_t i = lo; i < hi; i++) {
+        const uint8_t *row = e->rw + i * 30 * 32;
+        const uint8_t *pb = e->pf + i * 13 * 65;
+        const fe *ri = &e->rpow[i];
+        fe_from_bytes(cr, &u, e->ex + i * 96);
+        fe_from_bytes(cr, &zeta, e->ex + i * 96 + 32);
+        fe_from_bytes(cr, &nxt, e->ex + i * 96 + 64);
+        /* vk-shared accumulators */
+        fe_from_bytes(cr, &s, row + 1 * 32);          /* sigma_last */
+        fe_mul(cr, &t, &s, ri);
+        fe_add(cr, &vkacc[0], &vkacc[0], &t);
+        for (int j = 0; j < 13; j++) {                /* selectors */
+            fe_from_bytes(cr, &s, row + (2 + j) * 32);
+            fe_mul(cr, &t, &s, ri);
+            fe_add(cr, &vkacc[1 + j], &vkacc[1 + j], &t);
+        }
+        for (int j = 0; j < 4; j++) {                 /* sigma 0..3 */
+            fe_from_bytes(cr, &s, row + (25 + j) * 32);
+            fe_mul(cr, &t, &s, ri);
+            fe_add(cr, &vkacc[14 + j], &vkacc[14 + j], &t);
+        }
+        fe_from_bytes(cr, &s, row + 29 * 32);         /* agg eval -> -G */
+        fe_mul(cr, &t, &s, ri);
+        fe_sub(cr, gacc, gacc, &t);
+        /* per-proof B-side entries */
+        fe *sb_ = e->bscal + 19 + i * 13;
+        const uint8_t **kb_ = e->bkey + 19 + i * 13;
+        fe_from_bytes(cr, &s, row);                   /* prod_perm + u */
+        fe_add(cr, &s, &s, &u);
+        fe_mul(cr, &sb_[0], &s, ri);
+        kb_[0] = pb;
+        for (int j = 0; j < 5; j++) {                 /* quotient */
+            fe_from_bytes(cr, &s, row + (15 + j) * 32);
+            fe_mul(cr, &sb_[1 + j], &s, ri);
+            kb_[1 + j] = pb + (1 + j) * 65;
+        }
+        for (int j = 0; j < 5; j++) {                 /* wires */
+            fe_from_bytes(cr, &s, row + (20 + j) * 32);
+            fe_mul(cr, &sb_[6 + j], &s, ri);
+            kb_[6 + j] = pb + (6 + j) * 65;
+        }
+        fe_mul(cr, &sb_[11], &zeta, ri);              /* z_i W_i */
+        kb_[11] = pb + 11 * 65;
+        fe_mul(cr, &s, &u, &nxt);                     /* u_i z'_i W'_i */
+        fe_mul(cr, &sb_[12], &s, ri);
+        kb_[12] = pb + 12 * 65;
+        /* A-side entries */
+        e->ascal[2 * i] = *ri;
+        e->akey[2 * i] = pb + 11 * 65;
+        fe_mul(cr, &e->ascal[2 * i + 1], &u, ri);
+        e->akey[2 * i + 1] = pb + 12 * 65;
+    }
+}
+
 static PyObject *py_batch_opening_msm(PyObject *self, PyObject *args) {
     PyObject *capr, *capq;
     Py_buffer rows, extras, rb, vkb, pfb;
@@ -2066,68 +2215,42 @@ static PyObject *py_batch_opening_msm(PyObject *self, PyObject *args) {
     }
     const uint8_t **akey = bkey + nb;
     fe *ascal = bscal + nb;
+    bo_env env;
+    fe *rpow = (fe *)malloc((np > 0 ? np : 1) * sizeof(fe));
+    fe *tacc = (fe *)malloc(16 * 19 * sizeof(fe));
+    if (!rpow || !tacc) {
+        free(rpow); free(tacc); free(bkey); free(bscal);
+        PyBuffer_Release(&rows); PyBuffer_Release(&extras);
+        PyBuffer_Release(&rb); PyBuffer_Release(&vkb); PyBuffer_Release(&pfb);
+        return PyErr_NoMemory();
+    }
     Py_BEGIN_ALLOW_THREADS
     {
-        const uint8_t *rw = (const uint8_t *)rows.buf;
-        const uint8_t *ex = (const uint8_t *)extras.buf;
         const uint8_t *vk = (const uint8_t *)vkb.buf;
-        const uint8_t *pf = (const uint8_t *)pfb.buf;
-        fe r, ri, vkacc[18], gacc, t, s, u, zeta, nxt;
+        fe r;
         fe_from_bytes(cr, &r, (const uint8_t *)rb.buf);
-        ri = cr->one;
-        memset(vkacc, 0, sizeof vkacc);
-        memset(&gacc, 0, sizeof gacc);
-        for (Py_ssize_t i = 0; i < np; i++) {
-            const uint8_t *row = rw + i * 30 * 32;
-            const uint8_t *pb = pf + i * 13 * 65;
-            fe_from_bytes(cr, &u, ex + i * 96);
-            fe_from_bytes(cr, &zeta, ex + i * 96 + 32);
-            fe_from_bytes(cr, &nxt, ex + i * 96 + 64);
-            /* vk-shared accumulators */
-            fe_from_bytes(cr, &s, row + 1 * 32);          /* sigma_last */
-            fe_mul(cr, &t, &s, &ri);
-            fe_add(cr, &vkacc[0], &vkacc[0], &t);
-            for (int j = 0; j < 13; j++) {                /* selectors */
-                fe_from_bytes(cr, &s, row + (2 + j) * 32);
-                fe_mul(cr, &t, &s, &ri);
-                fe_add(cr, &vkacc[1 + j], &vkacc[1 + j], &t);
-            }
-            for (int j = 0; j < 4; j++) {                 /* sigma 0..3 */
-                fe_from_bytes(cr, &s, row + (25 + j) * 32);
-                fe_mul(cr, &t, &s, &ri);
-                fe_add(cr, &vkacc[14 + j], &vkacc[14 + j], &t);
-            }
-            fe_from_bytes(cr, &s, row + 29 * 32);         /* agg eval -> -G */
-            fe_mul(cr, &t, &s, &ri);
-            fe_sub(cr, &gacc, &gacc, &t);
-            /* per-proof B-side entries */
-            fe *sb_ = bscal + 19 + i * 13;
-            const uint8_t **kb_ = bkey + 19 + i * 13;
-            fe_from_bytes(cr, &s, row);                   /* prod_perm + u */
-            fe_add(cr, &s, &s, &u);
-            fe_mul(cr, &sb_[0], &s, &ri);
-            kb_[0] = pb;
-            for (int j = 0; j < 5; j++) {                 /* quotient */
-                fe_from_bytes(cr, &s, row + (15 + j) * 32);
-                fe_mul(cr, &sb_[1 + j], &s, &ri);
-                kb_[1 + j] = pb + (1 + j) * 65;
-            }
-            for (int j = 0; j < 5; j++) {                 /* wires */
-                fe_from_bytes(cr, &s, row + (20 + j) * 32);
-                fe_mul(cr, &sb_[6 + j], &s, &ri);
-                kb_[6 + j] = pb + (6 + j) * 65;
-            }
-            fe_mul(cr, &sb_[11], &zeta, &ri);             /* z_i W_i */
-            kb_[11] = pb + 11 * 65;
-            fe_mul(cr, &s, &u, &nxt);                     /* u_i z'_i W'_i */
-            fe_mul(cr, &sb_[12], &s, &ri);
-            kb_[12] = pb + 12 * 65;
-            /* A-side entries */
-            ascal[2 * i] = ri;
-            akey[2 * i] = pb + 11 * 65;
-            fe_mul(cr, &ascal[2 * i + 1], &u, &ri);
-            akey[2 * i + 1] = pb + 12 * 65;
-            fe_mul(cr, &ri, &ri, &r);
+        /* r^i table (serial: np muls, cheap), then parallel scaling with
+         * per-thread vk/G accumulators merged after the join */
+        rpow[0] = cr->one;
+        for (Py_ssize_t i = 1; i < np; i++)
+            fe_mul(cr, &rpow[i], &rpow[i - 1], &r);
+        memset(tacc, 0, 16 * 19 * sizeof(fe));
+        env.cr = cr;
+        env.rw = (const uint8_t *)rows.buf;
+        env.ex = (const uint8_t *)extras.buf;
+        env.pf = (const uint8_t *)pfb.buf;
+        env.rpow = rpow;
+        env.bscal = bscal; env.bkey = bkey;
+        env.ascal = ascal; env.akey = akey;
+        env.tacc = tacc;
+        long nt = pfor(bo_scale, &env, np, 64);
+        fe vkacc[18], gacc;
+        memcpy(vkacc, tacc, sizeof vkacc);
+        gacc = tacc[18];
+        for (long t = 1; t < nt; t++) {
+            for (int j = 0; j < 18; j++)
+                fe_add(cr, &vkacc[j], &vkacc[j], &tacc[t * 19 + j]);
+            fe_add(cr, &gacc, &gacc, &tacc[t * 19 + 18]);
         }
         for (int j = 0; j < 18; j++) {
             bkey[j] = vk + j * 65;
@@ -2144,6 +2267,7 @@ static PyObject *py_batch_opening_msm(PyObject *self, PyObject *args) {
         }
     }
     Py_END_ALLOW_THREADS
+    free(rpow); free(tacc);
     free(bkey); free(bscal);
     PyBuffer_Release(&rows); PyBuffer_Release(&extras);
     PyBuffer_Release(&rb); PyBuffer_Release(&vkb); PyBuffer_Release(&pfb);
@@ -2280,6 +2404,105 @@ static void keccak256_raw(const uint8_t *p, size_t len, uint8_t out[32]) {
         memcpy(out + 8 * i, &s[i], 8);
 }
 
+/* ---- 8-way AVX-512 keccak (one lane per independent chain) ----------
+ * The batch verifier's per-proof Fiat-Shamir chains are independent and
+ * (for a shared vk) have identical segment layouts, so eight chains hash
+ * in lockstep with each 64-bit AVX-512 lane carrying one chain.  Runtime
+ * dispatch via __builtin_cpu_supports keeps the .so portable. */
+#if defined(__x86_64__) || defined(_M_X64)
+#define MPCJF_HAVE_AVX512_BUILD 1
+#include <immintrin.h>
+
+__attribute__((target("avx512f")))
+static void keccak_f1600_x8(__m512i s[25]) {
+    static const int ROT[25] = {
+         0, 36,  3, 41, 18,
+         1, 44, 10, 45,  2,
+        62,  6, 43, 15, 61,
+        28, 55, 25, 21, 56,
+        27, 20, 39,  8, 14,
+    };
+    __m512i b[25], c[5], d[5];
+    for (int r = 0; r < 24; r++) {
+        for (int x = 0; x < 5; x++)
+            c[x] = _mm512_ternarylogic_epi64(
+                _mm512_ternarylogic_epi64(s[x], s[x + 5], s[x + 10], 0x96),
+                s[x + 15], s[x + 20], 0x96);
+        for (int x = 0; x < 5; x++)
+            d[x] = _mm512_xor_si512(c[(x + 4) % 5],
+                                    _mm512_rol_epi64(c[(x + 1) % 5], 1));
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++)
+                s[x + 5 * y] = _mm512_xor_si512(s[x + 5 * y], d[x]);
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++)
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = _mm512_rolv_epi64(
+                    s[x + 5 * y], _mm512_set1_epi64(ROT[x * 5 + y]));
+        for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++)
+                /* b0 ^ (~b1 & b2) == ternarylogic 0xD2 */
+                s[x + 5 * y] = _mm512_ternarylogic_epi64(
+                    b[x + 5 * y], b[(x + 1) % 5 + 5 * y],
+                    b[(x + 2) % 5 + 5 * y], 0xD2);
+        s[0] = _mm512_xor_si512(s[0], _mm512_set1_epi64((long long)KC_RC[r]));
+    }
+}
+
+__attribute__((target("avx512f")))
+static inline __m512i kc_load8(const uint8_t *const p[8], size_t off) {
+    uint64_t w[8];
+    for (int l = 0; l < 8; l++)
+        memcpy(&w[l], p[l] + off, 8);
+    return _mm512_set_epi64((long long)w[7], (long long)w[6], (long long)w[5],
+                            (long long)w[4], (long long)w[3], (long long)w[2],
+                            (long long)w[1], (long long)w[0]);
+}
+
+/* keccak256 of 8 equal-length inputs; out[l] gets lane l's 32B digest. */
+__attribute__((target("avx512f")))
+static void keccak256_x8(const uint8_t *const p[8], size_t len,
+                         uint8_t out[8][32]) {
+    const size_t rate = 136;
+    __m512i s[25];
+    for (int i = 0; i < 25; i++) s[i] = _mm512_setzero_si512();
+    size_t off = 0;
+    while (len - off >= rate) {
+        for (size_t i = 0; i < rate / 8; i++)
+            s[i] = _mm512_xor_si512(s[i], kc_load8(p, off + 8 * i));
+        keccak_f1600_x8(s);
+        off += rate;
+    }
+    size_t rem = len - off;
+    uint8_t block[8][136];
+    const uint8_t *bp[8];
+    for (int l = 0; l < 8; l++) {
+        memset(block[l], 0, rate);
+        memcpy(block[l], p[l] + off, rem);
+        block[l][rem] ^= 0x01;
+        block[l][rate - 1] ^= 0x80;
+        bp[l] = block[l];
+    }
+    for (size_t i = 0; i < rate / 8; i++)
+        s[i] = _mm512_xor_si512(s[i], kc_load8(bp, 8 * i));
+    keccak_f1600_x8(s);
+    uint64_t w[4][8];
+    for (int i = 0; i < 4; i++)
+        _mm512_storeu_si512((__m512i *)w[i], s[i]);
+    for (int l = 0; l < 8; l++)
+        for (int i = 0; i < 4; i++)
+            memcpy(out[l] + 8 * i, &w[i][l], 8);
+}
+
+static int mpcjf_avx512_ok(void) {
+    static int ok = -1;
+    if (ok < 0)
+        ok = __builtin_cpu_supports("avx512f") ? 1 : 0;
+    return ok;
+}
+#else
+static int mpcjf_avx512_ok(void) { return 0; }
+#endif
+
 /* Solidity-transcript challenge chain (transcript/solidity.rs:53-77):
  *   state = 64 zero bytes;  for each segment seg_i:
  *     T += seg_i
@@ -2314,8 +2537,68 @@ static void cc_run(cc_job *j) {
     }
 }
 
+#ifdef MPCJF_HAVE_AVX512_BUILD
+/* Eight chains with identical segment layouts, in AVX-512 lockstep. */
+__attribute__((target("avx512f")))
+static void cc_run_x8(cc_job *const j[8]) {
+    uint8_t h0[8][32], h1[8][32];
+    const uint8_t *bufs[8];
+    for (int l = 0; l < 8; l++) {
+        memset(j[l]->buf, 0, 64);
+        bufs[l] = j[l]->buf;
+    }
+    int nseg = j[0]->nseg;
+    for (int i = 0; i < nseg; i++) {
+        size_t pos = j[0]->ends[i];
+        uint8_t save[8];
+        for (int l = 0; l < 8; l++) {
+            save[l] = j[l]->buf[pos];
+            j[l]->buf[pos] = 0x00;
+        }
+        keccak256_x8(bufs, pos + 1, h0);
+        for (int l = 0; l < 8; l++)
+            j[l]->buf[pos] = 0x01;
+        keccak256_x8(bufs, pos + 1, h1);
+        for (int l = 0; l < 8; l++) {
+            j[l]->buf[pos] = save[l];
+            memcpy(j[l]->buf, h0[l], 32);
+            memcpy(j[l]->buf + 32, h1[l], 32);
+            memcpy(j[l]->out + 64 * i, j[l]->buf, 64);
+        }
+    }
+}
+#endif
+
+static int cc_same_layout(const cc_job *a, const cc_job *b) {
+    if (a->nseg != b->nseg) return 0;
+    for (int i = 0; i < a->nseg; i++)
+        if (a->ends[i] != b->ends[i]) return 0;
+    return 1;
+}
+
 static void *cc_worker(void *arg) {
     cc_task *t = (cc_task *)arg;
+#ifdef MPCJF_HAVE_AVX512_BUILD
+    if (mpcjf_avx512_ok()) {
+        /* blocks of 8 consecutive jobs; lockstep when layouts match */
+        for (Py_ssize_t i = (Py_ssize_t)t->tid * 8; i < t->k;
+             i += (Py_ssize_t)t->nthreads * 8) {
+            Py_ssize_t end = i + 8 <= t->k ? i + 8 : t->k;
+            int same = (end - i == 8);
+            for (Py_ssize_t v = i + 1; same && v < end; v++)
+                same = cc_same_layout(&t->jobs[i], &t->jobs[v]);
+            if (same) {
+                cc_job *grp[8];
+                for (int l = 0; l < 8; l++) grp[l] = &t->jobs[i + l];
+                cc_run_x8(grp);
+            } else {
+                for (Py_ssize_t v = i; v < end; v++)
+                    cc_run(&t->jobs[v]);
+            }
+        }
+        return NULL;
+    }
+#endif
     for (Py_ssize_t i = t->tid; i < t->k; i += t->nthreads)
         cc_run(&t->jobs[i]);
     return NULL;
@@ -2410,6 +2693,294 @@ fail:
     return NULL;
 }
 
+
+/* ---- fused batch-verify transcript assembly -------------------------
+ * bv_assemble(ctx, tmpl, seg_ends, patches, blobs, pib, gen, two256,
+ *             halfq, npi) -> (jobs, extras, bases)
+ *
+ * One call per batch: for every proof i it (a) copies the transcript
+ * template and patches in the proof/public-input bytes (points emitted as
+ * arkworks-0.4 compressed 32B, serialize.py:g1_to_bytes layout),
+ * (b) runs the Solidity-transcript keccak chain (AVX-512 8-way lockstep
+ * across proofs when available), (c) reduces the 7 challenge states
+ * (48B LE mod r via lo + hi*2^256), and (d) packs the pcs_scalars job
+ * rows [tau,beta,gamma,alpha,zeta,v,u | 10 evals | npi pi], the
+ * extras rows [u, zeta, zeta*gen] and the 13x65B proof base rows that
+ * pcs_scalars_batch / batch_opening_msm consume.  Replaces the per-proof
+ * Python glue of verifier.py:batch_verify_native (verifier.rs:195-252).
+ *
+ *  tmpl:     transcript bytes T of a canonical proof (patch targets)
+ *  seg_ends: nseg x u64 LE, transcript length at each challenge (== 7)
+ *  patches:  n x 4 u32 LE (t_off, kind, src, len); kind 0 = proof-blob
+ *            byte copy, 1 = public-input row copy, 2 = compressed point
+ *            (src = point index, blob holds x32|y32|inf1 at src*65)
+ *  blobs:    list of k bytes, each 13*65 + 10*32 (points then evals)
+ *  pib:      k * npi * 32 public-input bytes (LE, canonical)
+ *  gen:      eval-domain generator (32B LE), two256: 2^256 mod r,
+ *  halfq:    (q-1)/2 as 32B LE (y-sign compare for point compression)
+ */
+#define BV_NPT 13
+#define BV_NEV 10
+#define BV_BLOB_PTS (BV_NPT * 65)
+#define BV_BLOB_LEN (BV_BLOB_PTS + BV_NEV * 32)
+
+typedef struct {
+    const uint8_t *tmpl; size_t tlen;
+    const uint64_t *ends; int nseg;
+    const uint8_t *patches; Py_ssize_t npatch;
+    const uint8_t **blobs;
+    const uint8_t *pib; int npi;
+    const fctx *c;
+    fe gen, two256;
+    const uint8_t *halfq;
+    uint8_t *jobs, *extras, *bases;
+    size_t jrow;
+    Py_ssize_t k;
+    int tid, nthreads;
+    int err;
+} bv_task;
+
+/* y > (q-1)/2 on 32B LE integers */
+static int bv_y_is_high(const uint8_t *y, const uint8_t *halfq) {
+    for (int i = 31; i >= 0; i--) {
+        if (y[i] != halfq[i])
+            return y[i] > halfq[i];
+    }
+    return 0;
+}
+
+static void bv_patch_lane(const bv_task *t, Py_ssize_t i, uint8_t *buf) {
+    memcpy(buf + 64, t->tmpl, t->tlen);
+    const uint8_t *blob = t->blobs[i];
+    const uint8_t *pirow = t->pib + (size_t)i * t->npi * 32;
+    for (Py_ssize_t pjj = 0; pjj < t->npatch; pjj++) {
+        const uint8_t *pd = t->patches + pjj * 16;
+        uint32_t t_off, kind, src, len;
+        memcpy(&t_off, pd, 4); memcpy(&kind, pd + 4, 4);
+        memcpy(&src, pd + 8, 4); memcpy(&len, pd + 12, 4);
+        uint8_t *dst = buf + 64 + t_off;
+        if (kind == 0) {
+            memcpy(dst, blob + src, len);
+        } else if (kind == 1) {
+            memcpy(dst, pirow + src, len);
+        } else { /* kind 2: compressed point */
+            const uint8_t *pt = blob + (size_t)src * 65;
+            if (pt[64]) {               /* infinity */
+                memset(dst, 0, 32);
+                dst[31] |= 0x40;
+            } else {
+                memcpy(dst, pt, 32);
+                if (bv_y_is_high(pt + 32, t->halfq))
+                    dst[31] |= 0x80;
+            }
+        }
+    }
+}
+
+static void bv_post_lane(const bv_task *t, Py_ssize_t i,
+                         const uint8_t *states /* nseg*64 */) {
+    const fctx *c = t->c;
+    fe ch[7];
+    for (int j = 0; j < 7; j++) {
+        uint8_t hi32[32];
+        fe lo, hi;
+        fe_from_bytes(c, &lo, states + j * 64);
+        memset(hi32, 0, 32);
+        memcpy(hi32, states + j * 64 + 32, 16);
+        fe_from_bytes(c, &hi, hi32);
+        fe_mul(c, &hi, &hi, &t->two256);
+        fe_add(c, &ch[j], &lo, &hi);
+    }
+    uint8_t *jr = t->jobs + (size_t)i * t->jrow;
+    for (int j = 0; j < 7; j++)
+        fe_to_bytes(c, jr + j * 32, &ch[j]);
+    const uint8_t *blob = t->blobs[i];
+    memcpy(jr + 7 * 32, blob + BV_BLOB_PTS, BV_NEV * 32);
+    memcpy(jr + 17 * 32, t->pib + (size_t)i * t->npi * 32,
+           (size_t)t->npi * 32);
+    /* extras: u, zeta, zeta*gen (zeta = ch[4], u = ch[6]) */
+    uint8_t *ex = t->extras + (size_t)i * 96;
+    fe zg;
+    fe_to_bytes(c, ex, &ch[6]);
+    fe_to_bytes(c, ex + 32, &ch[4]);
+    fe_mul(c, &zg, &ch[4], &t->gen);
+    fe_to_bytes(c, ex + 64, &zg);
+    memcpy(t->bases + (size_t)i * BV_BLOB_PTS, blob, BV_BLOB_PTS);
+}
+
+static void *bv_worker(void *arg) {
+    bv_task *t = (bv_task *)arg;
+    size_t bufsz = 64 + t->tlen + 1;
+    int nseg = t->nseg;
+    uint8_t *arena = (uint8_t *)malloc(8 * bufsz);
+    size_t *ends_abs = (size_t *)malloc(sizeof(size_t) * nseg);
+    uint8_t *states = (uint8_t *)malloc((size_t)8 * nseg * 64);
+    if (!arena || !ends_abs || !states) {
+        free(arena); free(ends_abs); free(states);
+        t->err = 1;
+        return NULL;
+    }
+    for (int s = 0; s < nseg; s++)
+        ends_abs[s] = 64 + (size_t)t->ends[s];
+    cc_job grp[8];
+    cc_job *gp[8];
+    for (int l = 0; l < 8; l++) {
+        grp[l].buf = arena + l * bufsz;
+        grp[l].ends = ends_abs;
+        grp[l].nseg = nseg;
+        grp[l].out = states + (size_t)l * nseg * 64;
+        gp[l] = &grp[l];
+    }
+    for (Py_ssize_t base = (Py_ssize_t)t->tid * 8; base < t->k;
+         base += (Py_ssize_t)t->nthreads * 8) {
+        Py_ssize_t m = t->k - base < 8 ? t->k - base : 8;
+        for (Py_ssize_t l = 0; l < m; l++)
+            bv_patch_lane(t, base + l, grp[l].buf);
+#ifdef MPCJF_HAVE_AVX512_BUILD
+        if (m == 8 && mpcjf_avx512_ok()) {
+            cc_run_x8(gp);
+        } else
+#endif
+        {
+            for (Py_ssize_t l = 0; l < m; l++)
+                cc_run(&grp[l]);
+        }
+        for (Py_ssize_t l = 0; l < m; l++)
+            bv_post_lane(t, base + l, grp[l].out);
+    }
+    free(arena); free(ends_abs); free(states);
+    return NULL;
+}
+
+static PyObject *py_bv_assemble(PyObject *self, PyObject *args) {
+    PyObject *cap, *blobs_list;
+    Py_buffer tmpl, ends, patches, pib, genb, two256b, halfqb;
+    int npi;
+    if (!PyArg_ParseTuple(args, "Oy*y*y*O!y*y*y*y*i", &cap, &tmpl, &ends,
+                          &patches, &PyList_Type, &blobs_list, &pib, &genb,
+                          &two256b, &halfqb, &npi))
+        return NULL;
+    fctx *c = get_ctx(cap);
+    PyObject *ret = NULL;
+    const uint8_t **blobs = NULL;
+    PyObject *jobs_o = NULL, *extras_o = NULL, *bases_o = NULL;
+    Py_ssize_t k = PyList_GET_SIZE(blobs_list);
+    int nseg = (int)(ends.len / 8);
+    if (!c || ends.len % 8 || nseg != 7 || patches.len % 16
+        || genb.len != 32 || two256b.len != 32 || halfqb.len != 32
+        || npi < 0 || pib.len != (Py_ssize_t)k * npi * 32) {
+        PyErr_SetString(PyExc_ValueError, "bv_assemble: bad buffers");
+        goto done;
+    }
+    blobs = (const uint8_t **)malloc(sizeof(void *) * (k > 0 ? k : 1));
+    if (!blobs) { PyErr_NoMemory(); goto done; }
+    for (Py_ssize_t i = 0; i < k; i++) {
+        PyObject *b = PyList_GET_ITEM(blobs_list, i);
+        if (!PyBytes_Check(b) || PyBytes_GET_SIZE(b) != BV_BLOB_LEN) {
+            PyErr_SetString(PyExc_ValueError,
+                            "bv_assemble: bad proof blob");
+            goto done;
+        }
+        blobs[i] = (const uint8_t *)PyBytes_AS_STRING(b);
+    }
+    /* validate patches once */
+    {
+        const uint64_t *e = (const uint64_t *)ends.buf;
+        uint64_t prev = 0;
+        for (int s = 0; s < nseg; s++) {
+            if (e[s] < prev || e[s] > (uint64_t)tmpl.len) {
+                PyErr_SetString(PyExc_ValueError,
+                                "bv_assemble: bad segment ends");
+                goto done;
+            }
+            prev = e[s];
+        }
+        for (Py_ssize_t pjj = 0; pjj < patches.len / 16; pjj++) {
+            const uint8_t *pd = (const uint8_t *)patches.buf + pjj * 16;
+            uint32_t t_off, kind, src, len;
+            memcpy(&t_off, pd, 4); memcpy(&kind, pd + 4, 4);
+            memcpy(&src, pd + 8, 4); memcpy(&len, pd + 12, 4);
+            int bad = (size_t)t_off + len > (size_t)tmpl.len;
+            if (kind == 0) bad |= (size_t)src + len > BV_BLOB_LEN;
+            else if (kind == 1) bad |= (size_t)src + len > (size_t)npi * 32;
+            else if (kind == 2) bad |= src >= BV_NPT || len != 32;
+            else bad = 1;
+            if (bad) {
+                PyErr_SetString(PyExc_ValueError,
+                                "bv_assemble: bad patch");
+                goto done;
+            }
+        }
+    }
+    {
+        size_t jrow = (size_t)(17 + npi) * 32;
+        jobs_o = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(k * jrow));
+        extras_o = PyBytes_FromStringAndSize(NULL, k * 96);
+        bases_o = PyBytes_FromStringAndSize(NULL, k * BV_BLOB_PTS);
+        if (!jobs_o || !extras_o || !bases_o) goto done;
+        bv_task proto;
+        memset(&proto, 0, sizeof proto);
+        proto.tmpl = (const uint8_t *)tmpl.buf;
+        proto.tlen = (size_t)tmpl.len;
+        proto.ends = (const uint64_t *)ends.buf;
+        proto.nseg = nseg;
+        proto.patches = (const uint8_t *)patches.buf;
+        proto.npatch = patches.len / 16;
+        proto.blobs = blobs;
+        proto.pib = (const uint8_t *)pib.buf;
+        proto.npi = npi;
+        proto.c = c;
+        fe_from_bytes(c, &proto.gen, (const uint8_t *)genb.buf);
+        fe_from_bytes(c, &proto.two256, (const uint8_t *)two256b.buf);
+        proto.halfq = (const uint8_t *)halfqb.buf;
+        proto.jobs = (uint8_t *)PyBytes_AS_STRING(jobs_o);
+        proto.extras = (uint8_t *)PyBytes_AS_STRING(extras_o);
+        proto.bases = (uint8_t *)PyBytes_AS_STRING(bases_o);
+        proto.jrow = jrow;
+        proto.k = k;
+        long nt = msm_nthreads();
+        if (nt > (k + 7) / 8) nt = (k + 7) / 8;
+        if (nt < 1) nt = 1;
+        int err = 0;
+        Py_BEGIN_ALLOW_THREADS
+        if (nt > 1) {
+            pthread_t th[16];
+            bv_task tasks[16];
+            long started = 0;
+            for (long t = 0; t < nt; t++) {
+                tasks[t] = proto;
+                tasks[t].tid = (int)t;
+                tasks[t].nthreads = (int)nt;
+                if (pthread_create(&th[t], NULL, bv_worker, &tasks[t]) != 0) {
+                    bv_worker(&tasks[t]);
+                    th[t] = pthread_self();
+                }
+                started++;
+            }
+            for (long t = 0; t < started; t++)
+                if (!pthread_equal(th[t], pthread_self()))
+                    pthread_join(th[t], NULL);
+            for (long t = 0; t < started; t++)
+                err |= tasks[t].err;
+        } else {
+            proto.tid = 0;
+            proto.nthreads = 1;
+            bv_worker(&proto);
+            err = proto.err;
+        }
+        Py_END_ALLOW_THREADS
+        if (err) { PyErr_NoMemory(); goto done; }
+        ret = PyTuple_Pack(3, jobs_o, extras_o, bases_o);
+    }
+done:
+    Py_XDECREF(jobs_o); Py_XDECREF(extras_o); Py_XDECREF(bases_o);
+    free(blobs);
+    PyBuffer_Release(&tmpl); PyBuffer_Release(&ends);
+    PyBuffer_Release(&patches); PyBuffer_Release(&pib);
+    PyBuffer_Release(&genb); PyBuffer_Release(&two256b);
+    PyBuffer_Release(&halfqb);
+    return ret;
+}
 
 /* fixed_base_powers(ctx, gx32, gy32, scalars n*32 raw LE)
  * -> bytes n*(32+32+1): affine x, y, inf per point (g * s_i each).
@@ -2579,6 +3150,8 @@ static PyMethodDef methods[] = {
      "batched TurboPlonk verifier scalars"},
     {"batch_opening_msm", py_batch_opening_msm, METH_VARARGS,
      "fused batch opening-proof aggregation (A,B MSMs)"},
+    {"bv_assemble", py_bv_assemble, METH_VARARGS,
+     "fused batch-verify transcript assembly + challenge chains"},
     {"f12_is_one", py_f12_is_one, METH_VARARGS, "Fq12 == 1"},
     {"rescue_perm", py_rescue_perm, METH_VARARGS,
      "Rescue permutation with explicit key schedule"},
