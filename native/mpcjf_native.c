@@ -447,7 +447,7 @@ static void g1_msm(const fctx *c, g1 *out, const fe *xs, const fe *ys,
     if (!wins) { free(digits); g1_inf(c, out); return; }
     long nt = msm_nthreads();
     if (nt > nwin) nt = nwin;
-    if ((Py_ssize_t)(n * nwin) < 2048) nt = 1;  /* tiny MSM: skip threads */
+    if ((Py_ssize_t)(n * nwin) < 512) nt = 1;   /* tiny MSM: skip threads */
     if (nt > 1) {
         pthread_t th[16];
         msm_task tasks[16];
@@ -2118,6 +2118,21 @@ static int bomsm_run(const fctx *cr, const fctx *cq, g1 *out,
 }
 
 typedef struct {
+    const fctx *cr, *cq;
+    g1 *out;
+    const uint8_t **keys;
+    const fe *scal;
+    Py_ssize_t n;
+    int rc;
+} bo_ab;
+
+static void *bo_ab_worker(void *arg) {
+    bo_ab *t = (bo_ab *)arg;
+    t->rc = bomsm_run(t->cr, t->cq, t->out, t->keys, t->scal, t->n);
+    return NULL;
+}
+
+typedef struct {
     const fctx *cr;
     const uint8_t *rw, *ex, *pf;
     const fe *rpow;
@@ -2259,8 +2274,18 @@ static PyObject *py_batch_opening_msm(PyObject *self, PyObject *args) {
         bkey[18] = vk + 18 * 65;
         bscal[18] = gacc;
         g1 A, B;
-        rc = bomsm_run(cr, cq, &A, akey, ascal, na);
-        if (rc == 0) rc = bomsm_run(cr, cq, &B, bkey, bscal, nb);
+        /* A and B aggregations are independent: overlap them on two
+         * threads (the B MSM dominates; A is the opening-proof pair) */
+        bo_ab ab = {cr, cq, &A, akey, ascal, na, 0};
+        pthread_t abth;
+        int ab_threaded =
+            pthread_create(&abth, NULL, bo_ab_worker, &ab) == 0;
+        if (!ab_threaded)
+            ab.rc = bomsm_run(cr, cq, &A, akey, ascal, na);
+        rc = bomsm_run(cr, cq, &B, bkey, bscal, nb);
+        if (ab_threaded)
+            pthread_join(abth, NULL);
+        if (rc == 0) rc = ab.rc;
         if (rc == 0) {
             g1_out65(cq, out, &A);
             g1_out65(cq, out + 65, &B);
