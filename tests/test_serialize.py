@@ -180,3 +180,90 @@ def test_native_batch_verify_parity():
         assert False, "corrupt proof accepted"
     except WrongProof:
         pass
+
+
+def test_batch_verify_fused_parity():
+    """The one-call fused path (bv_assemble: template-patched transcripts,
+    AVX-512 keccak chains, challenge reduction, packed scalar rows) must
+    agree bit-for-bit with compute_challenges_batch + batch_verify_native
+    on accept AND reject (reference verifier.rs:195-252)."""
+    import copy
+    import random
+    import pytest
+    from mpc_jellyfish_tpu.curves import BN254
+    from mpc_jellyfish_tpu.plonk.snark import PlonkKzgSnark, WrongProof
+    from mpc_jellyfish_tpu.plonk.structs import BatchProof
+    from mpc_jellyfish_tpu.plonk.verifier import Verifier, proof_bv_blob
+    from mpc_jellyfish_tpu.pcs import kzg
+    from mpc_jellyfish_tpu.relation.circuit import PlonkCircuit
+    from mpc_jellyfish_tpu.utils import native
+
+    if native._load() is None or not hasattr(native._load(), "bv_assemble"):
+        pytest.skip("native runtime unavailable")
+
+    spec = BN254.fr
+    rng = random.Random(7)
+    cs = PlonkCircuit(spec)
+    vals = [cs.create_variable(rng.randrange(spec.p)) for _ in range(4)]
+    acc = vals[0]
+    while cs.num_gates() < 40:
+        acc = cs.mul(acc, vals[cs.num_gates() % 4])
+    out = cs.create_public_variable(cs.witness_of(acc))
+    cs.enforce_equal(acc, out)
+    cs.finalize_for_arithmetization()
+    snark = PlonkKzgSnark(BN254)
+    srs = kzg.universal_setup_for_testing(BN254, cs.srs_size(), seed=12)
+    pk, vk = snark.preprocess(srs, cs)
+    proofs = [snark.prove(cs, pk, rng=random.Random(i), mask=True)
+              for i in range(3)]
+    pis = [list(cs.public_input()) for _ in range(3)]
+
+    verifier = Verifier(BN254, vk.domain_size)
+    fused = verifier.batch_verify_fused([vk] * 3, pis, proofs, vk.open_key)
+    assert fused is True
+    # challenge parity: bv_assemble's challenges equal the recorder+chain
+    # path's (pins template/patch layout + the 48B mod-r reduction)
+    jobs = [([vk], [pi], BatchProof.from_proof(pf), None)
+            for pf, pi in zip(proofs, pis)]
+    chs = verifier.compute_challenges_batch(jobs)
+    tmpl, ends, patches = verifier._bv_layout(vk, 1)
+    blobs = [proof_bv_blob(BN254, pf) for pf in proofs]
+    p = spec.p
+    pib = b"".join((int(x) % p).to_bytes(32, "little")
+                   for pi in pis for x in pi)
+    mod = native._load()
+    jobs_b, extras, bases = mod.bv_assemble(
+        native._get_fr_ctx(p)[1], tmpl, ends, patches, blobs, pib,
+        verifier.group_gen.to_bytes(32, "little"),
+        ((1 << 256) % p).to_bytes(32, "little"),
+        ((BN254.fq.p - 1) // 2).to_bytes(32, "little"), 1)
+    jrow = 18 * 32
+    for i, ch in enumerate(chs):
+        row = jobs_b[i * jrow:(i + 1) * jrow]
+        got = [int.from_bytes(row[j * 32:(j + 1) * 32], "little")
+               for j in range(7)]
+        assert got == [ch.tau, ch.beta, ch.gamma, ch.alpha, ch.zeta,
+                       ch.v, ch.u]
+    # reject: corrupted eval, corrupted point, wrong pi — and a STALE
+    # cached blob must not let a mutated proof slip through (the blob is
+    # rebuilt only when absent, so mutation helpers drop it)
+    bad = copy.deepcopy(proofs[1])
+    del bad._bv_blob
+    bad.poly_evals.wires_evals[0] = (bad.poly_evals.wires_evals[0] + 1) % p
+    assert verifier.batch_verify_fused(
+        [vk] * 3, pis, [proofs[0], bad, proofs[2]], vk.open_key) is False
+    bad2 = copy.deepcopy(proofs[2])
+    del bad2._bv_blob
+    bad2.opening_proof = proofs[0].opening_proof
+    assert verifier.batch_verify_fused(
+        [vk] * 3, pis, [proofs[0], proofs[1], bad2], vk.open_key) is False
+    wrong_pi = [pis[0], [(pis[1][0] + 1) % p], pis[2]]
+    assert verifier.batch_verify_fused(
+        [vk] * 3, wrong_pi, proofs, vk.open_key) is False
+    # end-to-end API routes through the fused path and still raises
+    try:
+        snark.batch_verify([vk] * 3, wrong_pi, proofs)
+        assert False, "wrong pi accepted"
+    except WrongProof:
+        pass
+    assert snark.batch_verify([vk] * 3, pis, proofs)
