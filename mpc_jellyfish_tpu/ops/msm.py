@@ -732,9 +732,15 @@ def _msm_job_chunk(spec: FieldSpec, xy, inf_mask, bucket, sign,
 
 
 def _pick_c(n: int) -> int:
-    # measured on v5e: the XLA-land bucket reduction costs ~20-40x more per
-    # lane-add than the fused scan kernel, so small windows win (2^14, k=6:
-    # c=9/10 -> 130 ms vs c=13 -> 630 ms)
+    # r3 measurement (pre fused-Pallas tail): XLA-land bucket reduction cost
+    # ~20-40x more per lane-add than the scan kernel, so small windows won
+    # (2^14, k=6: c=9/10 -> 130 ms vs c=13 -> 630 ms).  The r4 fused tail
+    # moved the bucket select/add/tree-sum into VMEM, so larger windows are
+    # back on the table; env override for sweeps.
+    import os
+    env = os.environ.get("MPC_JELLYFISH_TPU_MSM_CBITS", "")
+    if env:
+        return int(env)
     if n >= (1 << 18):
         return 11
     if n >= (1 << 14):

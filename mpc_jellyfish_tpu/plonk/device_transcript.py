@@ -146,38 +146,107 @@ def fr_from_le48_dev(spec: FieldSpec, b48):
 class DeviceSolidityTranscript:
     """Drop-in device twin of SolidityTranscript for the PROVER side.
 
-    Host-known bytes (vk, public inputs, eval tails) append as constants;
-    device tensors (commitments, evaluations, challenges) append as traced
-    serializations.  `get_and_append_challenge_dev` returns the challenge
-    as a Montgomery limb tensor without any host synchronization."""
+    LAZY + FUSED: appends only RECORD (kind, tensor); all serialization,
+    concatenation, hashing and challenge reduction happen inside ONE
+    cached-jit program per squeeze.  The round-4 version ran each append
+    and squeeze as eager ops — on a remote-attached chip that is one
+    tunnel dispatch per op, which made device-FS 14x SLOWER than host FS
+    (bench_r4_16.log).  Fused, a full prove issues ~a dozen programs and
+    exactly one device->host fetch.
+
+    After each squeeze the serialized transcript prefix is carried forward
+    as a single device u8 vector, so program arity stays small and the
+    per-squeeze program is shape-stable across proves of one circuit."""
 
     def __init__(self, curve: CurveSpec):
         self.curve = curve
-        self.parts: list = []                 # device u8 vectors
-        self.length = 0                       # python-known total length
+        self.parts: list = []        # ("host", bytes) | ("g1b", batch) |
+                                     # ("frb", tensor [L, m])
+        self.length = 0              # python-known total transcript length
         self.state = jnp.zeros(64, dtype=U8)
+        self._buf = jnp.zeros(0, dtype=U8)   # serialized prefix (device)
+        self._nsqueeze = 0
 
-    # -- appends ---------------------------------------------------------
+    # -- appends (record only; no device ops) ----------------------------
     def append_host_bytes(self, msg: bytes):
         if not msg:
             return
-        self.parts.append(jnp.asarray(np.frombuffer(msg, np.uint8)))
+        self.parts.append(("host", bytes(msg)))
         self.length += len(msg)
 
     def append_commitment_dev(self, comm_aff):
-        self.parts.append(g1_bytes_dev(self.curve, comm_aff))
-        self.length += (self.curve.fq.p.bit_length() + 7) // 8
+        x, y, inf = comm_aff
+        self.append_commitments_dev((x, y, inf))
 
-    def append_commitments_dev(self, comms):
-        for c in comms:
-            self.append_commitment_dev(c)
+    def append_commitments_dev(self, batch):
+        """batch: (x [L,k], y [L,k], inf [k]) — k compressed points."""
+        k = int(batch[0].shape[1])
+        self.parts.append(("g1b", batch))
+        self.length += k * ((self.curve.fq.p.bit_length() + 7) // 8)
 
     def append_field_dev(self, v_mont):
-        self.parts.append(field_bytes_dev(self.curve.fr, v_mont))
-        self.length += (self.curve.fr.p.bit_length() + 7) // 8
+        self.parts.append(("frb", v_mont))
+        self.length += int(v_mont.shape[1]) * (
+            (self.curve.fr.p.bit_length() + 7) // 8)
 
-    # -- squeeze ---------------------------------------------------------
+    def append_fields_dev(self, v_mont):
+        """v_mont: [L, m] — m field elements in column order."""
+        self.append_field_dev(v_mont)
+
+    # -- squeeze (one fused program) -------------------------------------
     def get_and_append_challenge_dev(self):
-        base = jnp.concatenate([self.state] + self.parts)
-        self.state = K.transcript_squeeze(base)
-        return fr_from_le48_dev(self.curve.fr, self.state[:48])
+        from ..utils.aot_cache import cached_jit
+        import hashlib
+        curve, fr = self.curve, self.curve.fr
+        spec_sig = []
+        host_digest = hashlib.sha256()
+        flat_args = [self.state, self._buf]
+        consts = []
+        for kind, payload in self.parts:
+            if kind == "host":
+                spec_sig.append(("host", len(payload)))
+                host_digest.update(payload)
+                consts.append(np.frombuffer(payload, np.uint8))
+            elif kind == "g1b":
+                spec_sig.append(("g1b", int(payload[0].shape[1])))
+                flat_args.extend(payload)
+            else:
+                spec_sig.append(("frb", int(payload.shape[1])))
+                flat_args.append(payload)
+        sig = tuple(spec_sig)
+        parts_spec = list(self.parts)
+        const_arrays = list(consts)
+
+        def fn(state, buf, *tensors):
+            it = iter(tensors)
+            cit = iter(const_arrays)
+            pieces = [buf]
+            for kind, _payload in parts_spec:
+                if kind == "host":
+                    pieces.append(jnp.asarray(next(cit)))
+                elif kind == "g1b":
+                    x = next(it); y = next(it); inf = next(it)
+                    for i in range(x.shape[1]):
+                        pieces.append(g1_bytes_dev(
+                            curve, (x[:, i:i + 1], y[:, i:i + 1],
+                                    inf[i:i + 1])))
+                else:
+                    v = next(it)
+                    for i in range(v.shape[1]):
+                        pieces.append(field_bytes_dev(fr, v[:, i:i + 1]))
+            T = jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+            base = jnp.concatenate([state, T])
+            st = K.transcript_squeeze(base)
+            ch = fr_from_le48_dev(fr, st[:48])
+            return st, T, ch
+
+        key = (f"fs-{curve.name}-sq{self._nsqueeze}-b{self._buf.shape[0]}"
+               f"-{hashlib.sha256(repr(sig).encode()).hexdigest()[:12]}"
+               f"-h{host_digest.hexdigest()[:12]}")
+        call = cached_jit(key, fn, *flat_args, deps=("keccak",))
+        st, buf, ch = call(*flat_args)
+        self.state = st
+        self._buf = buf
+        self.parts = []
+        self._nsqueeze += 1
+        return ch

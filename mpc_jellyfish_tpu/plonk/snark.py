@@ -182,14 +182,16 @@ class PlonkKzgSnark:
         device — zero host synchronization until the final proof fetch
         (~30ms x 5 rounds of device->host latency through the remote
         tunnel otherwise).  Env override MPC_JELLYFISH_TPU_DEVICE_FS=0/1."""
+        # Default ON for TPU backends since round 5: the round-4 loss
+        # (16.5s/prove, bench_r4_16.log) was EAGER transcript dispatch —
+        # hundreds of per-op tunnel round trips.  With the fused lazy
+        # transcript (one cached-jit program per squeeze) the same path
+        # measures 0.24s at 2^14 (vs 0.53s host-FS) and 0.73s at 2^16
+        # (vs ~1.05s): bench_r5_14dfs.log / bench_r5_16dfs.log.
+        # MPC_JELLYFISH_TPU_DEVICE_FS=0 forces the host transcript,
+        # =1 forces device-FS on any backend (tests use this on CPU).
         env = os.environ.get("MPC_JELLYFISH_TPU_DEVICE_FS", "")
-        if env != "1":
-            # opt-in only: on the real chip the device keccak chain measured
-            # 16.5s/prove vs 1.19s for the host-transcript path at 2^16
-            # (bench_r4_16b/c.log) — the tiny sequential hash ops serialize
-            # the device queue and forfeit round-level overlap.  The path
-            # stays available (and tested) for transports where host link
-            # latency dominates.
+        if env == "0":
             return False
         if len(circuits) != 1 or circuits[0].support_lookup():
             return False
@@ -479,8 +481,7 @@ class PlonkKzgSnark:
                                              dev_comms=True)
         oracles.pub_inp_poly = prover.pub_input_poly(pi)
         oracles.wire_polys = polys
-        for i in range(W):
-            dtr.append_commitment_dev(comm_i(comms1, i))
+        dtr.append_commitments_dev(comms1)
         _ = dtr.get_and_append_challenge_dev()      # tau (unused in Turbo)
         t0 = _tr("dfs: round 1", t0)
 
@@ -491,7 +492,7 @@ class PlonkKzgSnark:
             pk.commit_key, [wv[:, j] for j in range(W)], pk.id_evals,
             pk.sigma_evals, beta, gamma, rng, mask, dev_comms=True)
         oracles.prod_perm_poly = z_poly
-        dtr.append_commitment_dev(comm_i(comms2, 0))
+        dtr.append_commitments_dev(comms2)     # k=1: the grand-product comm
         t0 = _tr("dfs: round 2", t0)
 
         # round 3
@@ -501,15 +502,13 @@ class PlonkKzgSnark:
                                                    consts=consts)
         comms3, split_polys = prover.run_3rd_round(pk.commit_key, quot, rng,
                                                    mask, dev_comms=True)
-        for i in range(W):
-            dtr.append_commitment_dev(comm_i(comms3, i))
+        dtr.append_commitments_dev(comms3)
         t0 = _tr("dfs: round 3", t0)
 
         # round 4
         zeta = dtr.get_and_append_challenge_dev()
         allv = prover.compute_evaluations_dev(pk, zeta, oracles)
-        for i in range(2 * W):
-            dtr.append_field_dev(allv[:, i:i + 1])
+        dtr.append_fields_dev(allv)
         lin_coeffs = prover.lin_coeffs_dev(pk, alpha, beta, gamma, zeta,
                                            allv)
         lin_polys = (list(split_polys) + list(pk.selectors)

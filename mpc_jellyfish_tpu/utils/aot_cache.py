@@ -37,6 +37,7 @@ _DEP_FILES = {
     "prover": ("plonk/prover.py",),
     "parallel": ("parallel/backend.py", "parallel/sharded.py",
                  "ops/group_ntt.py"),
+    "keccak": ("ops/keccak.py", "plonk/device_transcript.py"),
 }
 
 
