@@ -353,17 +353,19 @@ class MockFabric:
             groups.setdefault(sh, []).append(i)
 
         masked = [None] * (2 * len(pairs))
+        tstacks = {}
         for sh, idxs in groups.items():
             # stack on a TRAILING axis: the field kernels index limbs on
-            # axis 0
+            # axis 0.  Triple stacks are built once and reused by the
+            # reconstruction pass below (they were stacked twice before).
             xs = jnp.stack([pairs[i][0].share for i in idxs], axis=-1)
             xm = jnp.stack([pairs[i][0].mac for i in idxs], axis=-1)
             ys = jnp.stack([pairs[i][1].share for i in idxs], axis=-1)
             ym = jnp.stack([pairs[i][1].mac for i in idxs], axis=-1)
-            ash = jnp.stack([triples[i][0] for i in idxs], axis=-1)
-            amc = jnp.stack([triples[i][1] for i in idxs], axis=-1)
-            bsh = jnp.stack([triples[i][2] for i in idxs], axis=-1)
-            bmc = jnp.stack([triples[i][3] for i in idxs], axis=-1)
+            tstacks[sh] = tuple(
+                jnp.stack([triples[i][t] for i in idxs], axis=-1)
+                for t in range(6))
+            ash, amc, bsh, bmc = tstacks[sh][:4]
             ds, dm, es, em = _beaver_mask_jit(spec, xs, xm, ys, ym,
                                               ash, amc, bsh, bmc)
             for j, i in enumerate(idxs):
@@ -373,12 +375,7 @@ class MockFabric:
 
         out = [None] * len(pairs)
         for sh, idxs in groups.items():
-            ash = jnp.stack([triples[i][0] for i in idxs], axis=-1)
-            amc = jnp.stack([triples[i][1] for i in idxs], axis=-1)
-            bsh = jnp.stack([triples[i][2] for i in idxs], axis=-1)
-            bmc = jnp.stack([triples[i][3] for i in idxs], axis=-1)
-            csh = jnp.stack([triples[i][4] for i in idxs], axis=-1)
-            cmc = jnp.stack([triples[i][5] for i in idxs], axis=-1)
+            ash, amc, bsh, bmc, csh, cmc = tstacks[sh]
             d = jnp.stack([opened[2 * i] for i in idxs], axis=-1)
             e = jnp.stack([opened[2 * i + 1] for i in idxs], axis=-1)
             nb = len(sh) - 2                      # batch dims after [L, 2]
@@ -437,6 +434,21 @@ class MockFabric:
             jnp.stack([fn(a.share[:, p]) for p in range(n_local)], axis=1),
             jnp.stack([fn(a.mac[:, p]) for p in range(n_local)], axis=1),
         )
+
+    def map_local_b(self, fn, a: Shared) -> Shared:
+        """Batched map_local for [L, P, n] shares and BATCH-AWARE linear
+        fns ([L, B, n] -> [L, B, n']): shares and MACs of all parties run
+        as ONE application over a merged [L, 2P, n] tensor.  The per-party
+        loop + stacks of map_local were the single largest slice of the
+        collaborative prover's overhead (prof_collab2.log) — the hot call
+        sites (NTT/coset FFT/iNTT/roll/slice/pad) all have batched kernels,
+        so they go through here (ark-mpc batches the same ops through its
+        lazy graph, SURVEY.md §2.7)."""
+        assert a.share.ndim == 3, "map_local_b needs [L, P, n] shares"
+        n_local = a.share.shape[1]
+        both = jnp.concatenate([a.share, a.mac], axis=1)
+        out = fn(both)
+        return Shared(out[:, :n_local], out[:, n_local:])
 
     def open_point(self, fq, jac_local):
         """Open an EC point share: the mock already holds the full party-sum

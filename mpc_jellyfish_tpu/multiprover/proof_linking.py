@@ -59,7 +59,7 @@ def link_proofs(curve: CurveSpec, fabric: MockFabric,
     q = diff
     for root in roots:
         root_dev = spec.to_device([root])[:, 0]
-        q = fabric.map_local(
+        q = fabric.map_local_b(
             lambda x, r=root_dev: P.divide_by_linear(spec, x, r)[0], q)
     quotient_comm = commit_shared(fabric, commit_key, q)
 
@@ -76,7 +76,7 @@ def link_proofs(curve: CurveSpec, fabric: MockFabric,
     identity = fabric.sub(diff, fabric.mul_public(
         q, spec.to_device([zd_eta])))
     eta_dev = spec.to_device([eta])[:, 0]
-    witness = fabric.map_local(
+    witness = fabric.map_local_b(
         lambda x: P.divide_by_linear(spec, x, eta_dev)[0], identity)
     opening_proof = commit_shared(fabric, commit_key, witness)
     return LinkingProof(quotient_commitment=quotient_comm,

@@ -75,10 +75,21 @@ class MpcProver:
 
     # -- shared-poly helpers ----------------------------------------------
     def intt_shared(self, sh: Shared) -> Shared:
-        return self.fabric.map_local(lambda x: N.intt(self.base.domain, x), sh)
+        return self.fabric.map_local_b(
+            lambda x: N.intt(self.base.domain, x), sh)
 
     def coset_fft_shared(self, sh: Shared) -> Shared:
-        return self.fabric.map_local(self.base.coset_fft, sh)
+        base = self.base
+        spec = self.spec
+
+        def fft_b(x):                       # [L, B, n] batched coset FFT
+            cur = x.shape[-1]
+            if cur < base.m:
+                x = jnp.concatenate(
+                    [x, F.zeros(spec, x.shape[1:-1] + (base.m - cur,))],
+                    axis=-1)
+            return base.be.coset_ntt(base.quot_domain, x, base.coset)
+        return self.fabric.map_local_b(fft_b, sh)
 
     def pad_shared(self, sh: Shared, out_len: int) -> Shared:
         spec = self.spec
@@ -89,7 +100,7 @@ class MpcProver:
                 return x
             return jnp.concatenate([x, F.zeros(spec, x.shape[1:-1] + (k,))],
                                    axis=-1)
-        return self.fabric.map_local(pad, sh)
+        return self.fabric.map_local_b(pad, sh)
 
     def mask_shared(self, sh: Shared, hiding_bound: int, out_len: int) -> Shared:
         """Add Z_H * (shared random poly) - the mask is itself shared so
@@ -112,9 +123,8 @@ class MpcProver:
 
     def eval_shared(self, sh: Shared, z_dev) -> Shared:
         """Share-local polynomial evaluation at a public point."""
-        return self.fabric.map_local(
-            lambda x: P.eval_at(self.spec, x, z_dev).reshape(
-                self.spec.num_limbs, 1), sh)
+        return self.fabric.map_local_b(
+            lambda x: P.eval_at(self.spec, x, z_dev)[..., None], sh)
 
     # -- rounds ------------------------------------------------------------
     def wire_polys_round(self, ck, wire_shares, mask: bool):
@@ -220,7 +230,7 @@ class MpcProver:
 
         # copy constraints
         x = base.coset_elements
-        z_next = fab.map_local(
+        z_next = fab.map_local_b(
             lambda t: jnp.roll(t, -base.size_ratio, axis=-1), z_fft)
         term1 = fab.mul_public(z_fft, alpha)
         term2 = fab.mul_public(z_next, alpha)
@@ -241,7 +251,7 @@ class MpcProver:
         quot = fab.add(fab.mul_public(t1, base.zh_inv_coset), t_perm_2)
 
         # shared coset iNTT + split + shared masking + commits
-        quot_coeffs = fab.map_local(
+        quot_coeffs = fab.map_local_b(
             lambda t: N.coset_intt(base.quot_domain, t, base.coset), quot)
         n = self.n
         expected_len = W * (n + 1) + 3
@@ -249,8 +259,8 @@ class MpcProver:
         polys = []
         for i in range(W):
             end = (i + 1) * chunk if i < W - 1 else expected_len
-            piece = fab.map_local(lambda t, s=i * chunk, e=end: t[:, s:e],
-                                  quot_coeffs)
+            piece = fab.map_local_b(lambda t, s=i * chunk, e=end: t[..., s:e],
+                                    quot_coeffs)
             piece = self.pad_shared(piece, n + 3)
             polys.append(piece)
         if mask:
@@ -386,9 +396,9 @@ class MpcProver:
                 batch = t if batch is None else fab.add(batch, t)
 
         pts = upload(spec, [ch.zeta, ch.zeta * self.base.domain.w % p])
-        q1 = fab.map_local(
+        q1 = fab.map_local_b(
             lambda t: P.divide_by_linear(spec, t, pts[:, 0])[0], batch)
-        q2 = fab.map_local(
+        q2 = fab.map_local_b(
             lambda t: P.divide_by_linear(spec, t, pts[:, 1])[0],
             self.pad_shared(z_poly, n3))
         opening, shifted = commit_shared_batch(self.fabric, ck, [q1, q2])

@@ -42,16 +42,21 @@ def divide_by_linear(spec: FieldSpec, coeffs: jnp.ndarray, z: jnp.ndarray):
     Requires z != 0.  coeffs [L, n] -> q [L, n] (top coefficient zero).
     """
     n = coeffs.shape[-1]
-    zp = F.powers(spec, z, n)                       # z^k
+    ax = coeffs.ndim - 1                            # poly axis (supports
+    zp = F.powers(spec, z, n)                       # [L, B, n] batches)
     zinv = F.inv(spec, z.reshape(spec.num_limbs, 1))
     zpi = F.powers(spec, zinv, n + 1)               # z^-k, k in [0, n]
+    if coeffs.ndim == 3:
+        zp = zp[:, None, :]
+        zpi = zpi[:, None, :]
     b = F.mul(spec, coeffs, zp)                     # a_k z^k
     # T_j = sum_{k>=j} b_k  (inclusive suffix sum)
-    t = jnp.flip(F.cumsum(spec, jnp.flip(b, axis=1), axis=1), axis=1)
-    r = t[:, 0]                                     # a(z) (since b_0 sum = sum a_k z^k)
+    t = jnp.flip(F.cumsum(spec, jnp.flip(b, axis=ax), axis=ax), axis=ax)
+    r = t[..., 0]                                   # a(z) (since b_0 sum = sum a_k z^k)
     # suffix-exclusive: S_j = T_{j+1} (S_{n-1} = 0)
-    s = jnp.concatenate([t[:, 1:], F.zeros(spec, (1,))], axis=1)
-    q = F.mul(spec, s, zpi[:, 1:n + 1])             # S_j * z^-(j+1)
+    s = jnp.concatenate(
+        [t[..., 1:], F.zeros(spec, coeffs.shape[1:-1] + (1,))], axis=ax)
+    q = F.mul(spec, s, zpi[..., 1:n + 1])           # S_j * z^-(j+1)
     return q, r
 
 
