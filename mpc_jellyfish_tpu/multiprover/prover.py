@@ -194,8 +194,18 @@ class MpcProver:
         alpha2 = consts[:, 3:4]
         ks = [consts[:, 4 + j:5 + j] for j in range(W)]
 
-        sel_fft = [base.coset_fft(s) for s in pk.selectors]
-        sigma_fft = [base.coset_fft(s) for s in pk.sigmas]
+        # selector/sigma coset FFTs are challenge-independent and public:
+        # computed once per proving key (the single-prover quotient round
+        # caches the same tables on its pk)
+        cached = getattr(pk, "_mpc_coset_ffts", None)
+        if cached is None:
+            cached = ([base.coset_fft(s) for s in pk.selectors],
+                      [base.coset_fft(s) for s in pk.sigmas])
+            try:
+                pk._mpc_coset_ffts = cached
+            except Exception:
+                pass
+        sel_fft, sigma_fft = cached
         w_fft = [self.coset_fft_shared(wp) for wp in wire_polys]
         z_fft = self.coset_fft_shared(z_poly)
         pi_fft = base.coset_fft(pi_poly_pub)
