@@ -27,6 +27,113 @@ from ..plonk.prover import Prover, upload
 from ..plonk.structs import Challenges, ProofEvaluations
 from .fabric import MockFabric, Shared, N_PARTIES
 
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _quot_fused_jit(spec, W, size_ratio, ws, wm, zs, zm, sel, sig, pi_fft,
+                    consts, x_coset, zh_inv, inv_nx1, trip6, alpha_r):
+    """TurboPlonk quotient-round gate + copy DAG over 2-party shares, fully
+    traced (the in-process fabric's openings are party-axis sums, so every
+    Beaver product is a pure tensor op).  Mirrors the unfused composition
+    in MpcProver.quotient_round op for op — same triple order, same
+    party-0 public bumps — so proofs are bit-identical."""
+    def pub(v):                        # public [L, m] / [L, 1] -> party bcast
+        return v[:, None]
+
+    idx = [0]
+
+    def bmul(pairs):
+        outs = []
+        for (xs_, xm_), (ys_, ym_) in pairs:
+            i = idx[0]
+            idx[0] += 1
+            ash, amc, bsh, bmc, csh, cmc = trip6[i]
+            ds = F.sub(spec, xs_, ash)
+            es = F.sub(spec, ys_, bsh)
+            d = F.sum_reduce(spec, ds, axis=1)          # open (unchecked)
+            e = F.sum_reduce(spec, es, axis=1)
+            de = F.mul(spec, d, e)
+            zs_ = F.add(spec, csh, F.add(spec, F.mul(spec, bsh, pub(d)),
+                                         F.mul(spec, ash, pub(e))))
+            bump = jnp.concatenate(
+                [de[:, None], jnp.zeros_like(de)[:, None]], axis=1)
+            zs_ = F.add(spec, zs_, bump)
+            zm_ = F.add(spec, cmc, F.add(spec, F.mul(spec, bmc, pub(d)),
+                                         F.mul(spec, amc, pub(e))))
+            zm_ = F.add(spec, zm_, F.mul(spec, alpha_r, de[:, None]))
+            outs.append((zs_, zm_))
+        return outs
+
+    def mulp(x, v):
+        return (F.mul(spec, x[0], pub(v)), F.mul(spec, x[1], pub(v)))
+
+    def addsh(x, y):
+        return (F.add(spec, x[0], y[0]), F.add(spec, x[1], y[1]))
+
+    def subsh(x, y):
+        return (F.sub(spec, x[0], y[0]), F.sub(spec, x[1], y[1]))
+
+    def addp(x, v):
+        bump = jnp.concatenate([v[:, None], jnp.zeros_like(v)[:, None]],
+                               axis=1)
+        return (F.add(spec, x[0], bump),
+                F.add(spec, x[1], F.mul(spec, alpha_r, v[:, None])))
+
+    w = list(zip(ws, wm))
+    z = (zs, zm)
+    alpha = consts[:, 0:1]
+    beta = consts[:, 1:2]
+    gamma = consts[:, 2:3]
+    alpha2 = consts[:, 3:4]
+    ks = [consts[:, 4 + j:5 + j] for j in range(W)]
+
+    q_lc = [sel[:, j] for j in range(4)]
+    q_mul = [sel[:, 4], sel[:, 5]]
+    q_hash = [sel[:, 6 + j] for j in range(4)]
+    q_o, q_c, q_ecc = sel[:, 10], sel[:, 11], sel[:, 12]
+
+    t_circ = mulp(w[0], q_lc[0])
+    for j in range(1, 4):
+        t_circ = addsh(t_circ, mulp(w[j], q_lc[j]))
+    lvl1 = bmul([(w[0], w[1]), (w[2], w[3])]
+                + [(w[j], w[j]) for j in range(4)])
+    w01, w23, w2s = lvl1[0], lvl1[1], lvl1[2:]
+    t_circ = addsh(t_circ, mulp(w01, q_mul[0]))
+    t_circ = addsh(t_circ, mulp(w23, q_mul[1]))
+    lvl2 = bmul([(w01, w23)] + [(w2, w2) for w2 in w2s])
+    w0123, w4s = lvl2[0], lvl2[1:]
+    lvl3 = bmul([(w0123, w[4])]
+                + [(w4s[j], w[j]) for j in range(4)])
+    prod_w, w5s = lvl3[0], lvl3[1:]
+    t_circ = addsh(t_circ, mulp(prod_w, q_ecc))
+    for j in range(4):
+        t_circ = addsh(t_circ, mulp(w5s[j], q_hash[j]))
+    t_circ = subsh(t_circ, mulp(w[4], q_o))
+    t_circ = addp(t_circ, F.add(spec, q_c, pi_fft))
+
+    z_next = (jnp.roll(zs, -size_ratio, axis=-1),
+              jnp.roll(zm, -size_ratio, axis=-1))
+    term1 = mulp(z, alpha)
+    term2 = mulp(z_next, alpha)
+    for j in range(W):
+        aj_pub = F.add(spec, gamma, F.mul(
+            spec, F.mul(spec, beta, ks[j]), x_coset))
+        bj_pub = F.add(spec, gamma, F.mul(spec, beta, sig[:, j]))
+        aj = addp(w[j], aj_pub)
+        bj = addp(w[j], bj_pub)
+        term1, term2 = bmul([(term1, aj), (term2, bj)])
+    t_perm_1 = subsh(term1, term2)
+
+    one = F.ones(spec, (1,))
+    zm1 = addp(z, F.neg(spec, one))
+    t_perm_2 = mulp(mulp(zm1, inv_nx1), alpha2)
+
+    t1 = addsh(t_circ, t_perm_1)
+    quot = addsh(mulp(t1, zh_inv), t_perm_2)
+    return quot
+
 GATE_WIDTH = 4
 
 
@@ -174,6 +281,40 @@ class MpcProver:
         comm = self.commit_shared(ck, coeffs)
         return comm, coeffs
 
+    def _quotient_core_fused(self, pk, consts_dev, w_fft, z_fft, pi_fft,
+                             sel_fft, sigma_fft):
+        """Whole gate-equation + copy-constraint DAG as ONE jitted program
+        (mock fabric only): Beaver maskings, the party-sum openings and the
+        z = c + db + ea + de reconstructions are pure tensor ops in the
+        in-process fabric, so the entire round traces into a single XLA
+        executable — the ark-mpc lazy-graph equivalent (SURVEY §2.7;
+        the reference consumes the graph at prover.rs:330-419).  The
+        eager composition dispatched ~2000 primitives per prove
+        (prof_collab2.log).  Triples are drawn host-side in exactly the
+        order the unfused path draws them, so preloaded pools and proof
+        bytes are unchanged."""
+        fab = self.fabric
+        spec = self.spec
+        base = self.base
+        m = base.m
+        # 26 triples, [L, 2, m] each, in the unfused consumption order:
+        # lvl1 (6), lvl2 (5), lvl3 (5), copy rounds j=0..4 (2 each)
+        trips = []
+        for _ in range(6 + 5 + 5 + 2 * self.num_wire_types):
+            a, b, c = fab._beaver_triples((m,))
+            trips.append(tuple(
+                t.reshape((spec.num_limbs, 2, m)) for t in
+                (a.share, a.mac, b.share, b.mac, c.share, c.mac)))
+        fab.n_openings += 3 + self.num_wire_types   # one per Beaver round
+        ws = tuple(w.share for w in w_fft)
+        wm = tuple(w.mac for w in w_fft)
+        qs, qm = _quot_fused_jit(
+            spec, self.num_wire_types, base.size_ratio, ws, wm,
+            z_fft.share, z_fft.mac, sel_fft, sigma_fft, pi_fft, consts_dev,
+            base.coset_elements, base.zh_inv_coset, base.inv_n_x_minus_1,
+            tuple(trips), fab._alpha_shares.reshape(spec.num_limbs, 2, 1))
+        return Shared(qs, qm)
+
     def quotient_round(self, ck, pk, challenges: Challenges, wire_polys,
                        z_poly, pi_poly_pub, mask: bool, rng):
         """Round 3: plaintext coset FFT of selectors/sigmas; SHARED coset FFT
@@ -210,55 +351,69 @@ class MpcProver:
         z_fft = self.coset_fft_shared(z_poly)
         pi_fft = base.coset_fft(pi_poly_pub)
 
-        q_lc = sel_fft[0:4]
-        q_mul = sel_fft[4:6]
-        q_hash = sel_fft[6:10]
-        q_o, q_c, q_ecc = sel_fft[10], sel_fft[11], sel_fft[12]
+        if (type(fab) is MockFabric and W == 5
+                and w_fft[0].share.shape[1] == 2):
+            # in-process fabric: whole gate+copy DAG in ONE program
+            stacks = getattr(pk, '_mpc_sel_stack', None)
+            if stacks is None:
+                stacks = (jnp.stack(sel_fft, axis=1),
+                          jnp.stack(sigma_fft, axis=1))
+                try:
+                    pk._mpc_sel_stack = stacks
+                except Exception:
+                    pass
+            quot = self._quotient_core_fused(
+                pk, consts, w_fft, z_fft, pi_fft, stacks[0], stacks[1])
+        else:
+            q_lc = sel_fft[0:4]
+            q_mul = sel_fft[4:6]
+            q_hash = sel_fft[6:10]
+            q_o, q_c, q_ecc = sel_fft[10], sel_fft[11], sel_fft[12]
 
-        # gate equation over shares
-        t_circ = fab.mul_public(w_fft[0], q_lc[0])
-        for j in range(1, 4):
-            t_circ = fab.add(t_circ, fab.mul_public(w_fft[j], q_lc[j]))
-        # level 1: w0*w1, w2*w3, wj^2 (x4) — ONE Beaver round
-        lvl1 = fab.mul_batch([(w_fft[0], w_fft[1]), (w_fft[2], w_fft[3])]
-                             + [(w_fft[j], w_fft[j]) for j in range(4)])
-        w01, w23, w2s = lvl1[0], lvl1[1], lvl1[2:]
-        t_circ = fab.add(t_circ, fab.mul_public(w01, q_mul[0]))
-        t_circ = fab.add(t_circ, fab.mul_public(w23, q_mul[1]))
-        # level 2: (w0w1)(w2w3), wj^4 — ONE round
-        lvl2 = fab.mul_batch([(w01, w23)] + [(w2, w2) for w2 in w2s])
-        w0123, w4s = lvl2[0], lvl2[1:]
-        # level 3: prod_w, wj^5 — ONE round
-        lvl3 = fab.mul_batch([(w0123, w_fft[4])]
-                             + [(w4, w_fft[j]) for j, w4 in enumerate(w4s)])
-        prod_w, w5s = lvl3[0], lvl3[1:]
-        t_circ = fab.add(t_circ, fab.mul_public(prod_w, q_ecc))
-        for j in range(4):
-            t_circ = fab.add(t_circ, fab.mul_public(w5s[j], q_hash[j]))
-        t_circ = fab.sub(t_circ, fab.mul_public(w_fft[4], q_o))
-        t_circ = fab.add_public(t_circ, F.add(spec, q_c, pi_fft))
+            # gate equation over shares
+            t_circ = fab.mul_public(w_fft[0], q_lc[0])
+            for j in range(1, 4):
+                t_circ = fab.add(t_circ, fab.mul_public(w_fft[j], q_lc[j]))
+            # level 1: w0*w1, w2*w3, wj^2 (x4) — ONE Beaver round
+            lvl1 = fab.mul_batch([(w_fft[0], w_fft[1]), (w_fft[2], w_fft[3])]
+                                 + [(w_fft[j], w_fft[j]) for j in range(4)])
+            w01, w23, w2s = lvl1[0], lvl1[1], lvl1[2:]
+            t_circ = fab.add(t_circ, fab.mul_public(w01, q_mul[0]))
+            t_circ = fab.add(t_circ, fab.mul_public(w23, q_mul[1]))
+            # level 2: (w0w1)(w2w3), wj^4 — ONE round
+            lvl2 = fab.mul_batch([(w01, w23)] + [(w2, w2) for w2 in w2s])
+            w0123, w4s = lvl2[0], lvl2[1:]
+            # level 3: prod_w, wj^5 — ONE round
+            lvl3 = fab.mul_batch([(w0123, w_fft[4])]
+                                 + [(w4, w_fft[j]) for j, w4 in enumerate(w4s)])
+            prod_w, w5s = lvl3[0], lvl3[1:]
+            t_circ = fab.add(t_circ, fab.mul_public(prod_w, q_ecc))
+            for j in range(4):
+                t_circ = fab.add(t_circ, fab.mul_public(w5s[j], q_hash[j]))
+            t_circ = fab.sub(t_circ, fab.mul_public(w_fft[4], q_o))
+            t_circ = fab.add_public(t_circ, F.add(spec, q_c, pi_fft))
 
-        # copy constraints
-        x = base.coset_elements
-        z_next = fab.map_local_b(
-            lambda t: jnp.roll(t, -base.size_ratio, axis=-1), z_fft)
-        term1 = fab.mul_public(z_fft, alpha)
-        term2 = fab.mul_public(z_next, alpha)
-        for j in range(W):
-            aj = fab.add_public(w_fft[j], F.add(
-                spec, gamma, F.mul(spec, F.mul(spec, beta, ks[j]), x)))
-            bj = fab.add_public(w_fft[j], F.add(
-                spec, gamma, F.mul(spec, beta, sigma_fft[j])))
-            term1, term2 = fab.mul_batch([(term1, aj), (term2, bj)])
-        t_perm_1 = fab.sub(term1, term2)
+            # copy constraints
+            x = base.coset_elements
+            z_next = fab.map_local_b(
+                lambda t: jnp.roll(t, -base.size_ratio, axis=-1), z_fft)
+            term1 = fab.mul_public(z_fft, alpha)
+            term2 = fab.mul_public(z_next, alpha)
+            for j in range(W):
+                aj = fab.add_public(w_fft[j], F.add(
+                    spec, gamma, F.mul(spec, F.mul(spec, beta, ks[j]), x)))
+                bj = fab.add_public(w_fft[j], F.add(
+                    spec, gamma, F.mul(spec, beta, sigma_fft[j])))
+                term1, term2 = fab.mul_batch([(term1, aj), (term2, bj)])
+            t_perm_1 = fab.sub(term1, term2)
 
-        one = F.ones(spec, (1,))
-        zm1 = fab.add_public(z_fft, F.neg(spec, one))
-        t_perm_2 = fab.mul_public(
-            fab.mul_public(zm1, base.inv_n_x_minus_1), alpha2)
+            one = F.ones(spec, (1,))
+            zm1 = fab.add_public(z_fft, F.neg(spec, one))
+            t_perm_2 = fab.mul_public(
+                fab.mul_public(zm1, base.inv_n_x_minus_1), alpha2)
 
-        t1 = fab.add(t_circ, t_perm_1)
-        quot = fab.add(fab.mul_public(t1, base.zh_inv_coset), t_perm_2)
+            t1 = fab.add(t_circ, t_perm_1)
+            quot = fab.add(fab.mul_public(t1, base.zh_inv_coset), t_perm_2)
 
         # shared coset iNTT + split + shared masking + commits
         quot_coeffs = fab.map_local_b(
